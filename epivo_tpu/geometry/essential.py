@@ -1,0 +1,182 @@
+"""Essential-matrix estimation and pose recovery, batched for TPU.
+
+TPU-native replacement for the reference's OpenCV calls:
+- ``findEssentialMat`` (RANSAC / LMedS policies, ref sites listed in
+  SURVEY.md C13, e.g. `kitti_E.cpp:98-104`, `kitti_ba.cpp:232,308,702`)
+  -> :mod:`epivo_tpu.ransac` drives the batched solvers here.
+- ``recoverPose`` + cheirality masking (`kitti_E.cpp:120,174-186`)
+  -> :func:`decompose` + :func:`recover_pose`.
+
+Design choice (TPU-first): hypotheses are solved with the normalized
+8-point algorithm batched over thousands of minimal samples via one
+``vmap``-ed SVD, instead of OpenCV's serial Nistér 5-point. The 5-point
+action-matrix method needs a nonsymmetric eigendecomposition, which XLA has
+no TPU kernel for; 8-point minimal samples + Sampson scoring + the
+downstream LM pose refinement reaches the same accuracy on VO-scale match
+counts while keeping every step MXU-friendly dense linear algebra.
+
+All points are in *normalized* camera coordinates (homogeneous, z=1), i.e.
+already multiplied by K^-1 — matching the reference's convention after
+`kitti_E.cpp:181-182`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from epivo_tpu.geometry import se3
+
+_EPS = 1e-12
+
+
+def design_rows(p: jnp.ndarray, p_t: jnp.ndarray) -> jnp.ndarray:
+    """Epipolar constraint rows: p_t^T E p = A @ vec(E) (row-major vec).
+
+    p, p_t: [..., N, 3] -> [..., N, 9].
+    """
+    # row = [x' x, x' y, x', y' x, y' y, y', x, y, 1]
+    return (p_t[..., :, None] * p[..., None, :]).reshape(p.shape[:-1] + (9,))
+
+
+def eight_point(p: jnp.ndarray, p_t: jnp.ndarray,
+                weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(Weighted) 8-point essential estimate.
+
+    p, p_t: [..., N, 3] with N >= 8. Returns E [..., 3, 3] with singular
+    values projected to (1, 1, 0). Accepts row weights (e.g. an inlier mask)
+    for masked refits with static shapes.
+    """
+    A = design_rows(p, p_t)  # [..., N, 9]
+    if weights is not None:
+        A = A * weights[..., None]
+    # Smallest right singular vector of A == eigenvector of A^T A for the
+    # smallest eigenvalue. Using the 9x9 normal matrix keeps the SVD size
+    # independent of N and maps to one small batched eigh.
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    e = V[..., :, 0]
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    # Project to the essential manifold: singular values (1, 1, 0).
+    U, _, Vt = jnp.linalg.svd(E)
+    # Keep det(U), det(V) = +1 so decompose() yields proper rotations.
+    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return U @ S @ Vt
+
+
+def sampson_error(E: jnp.ndarray, p: jnp.ndarray, p_t: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) error of the epipolar constraint.
+
+    E: [..., 3, 3]; p, p_t: [..., N, 3]. Returns [..., N] squared errors in
+    normalized-coordinate units.
+    """
+    Ep = jnp.einsum("...ij,...nj->...ni", E, p)  # [..., N, 3]
+    Etp = jnp.einsum("...ji,...nj->...ni", E, p_t)
+    num = jnp.einsum("...ni,...ni->...n", p_t, Ep)  # p_t^T E p
+    den = (
+        Ep[..., 0] ** 2 + Ep[..., 1] ** 2 + Etp[..., 0] ** 2 + Etp[..., 1] ** 2
+    )
+    return num * num / jnp.maximum(den, _EPS)
+
+
+def decompose(E: jnp.ndarray):
+    """E -> four (R, t) candidates: [..., 4, 3, 3], [..., 4, 3].
+
+    Standard SVD factorization E = U diag(1,1,0) V^T; R in {U W V^T, U W^T V^T},
+    t = +-u3 (unit norm, matching OpenCV's recoverPose convention the
+    reference relies on, `kitti_E.cpp:120`).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    t = U[..., :, 2]
+    Rs = jnp.stack([Ra, Ra, Rb, Rb], axis=-3)  # [..., 4, 3, 3]
+    ts = jnp.stack([t, -t, t, -t], axis=-2)  # [..., 4, 3]
+    return Rs, ts
+
+
+def _depths_two_view(R, t, p, p_t):
+    """Closed-form depths in both frames for cheirality checks.
+
+    Triangulates by the midpoint-free epipolar depth (same formula as the
+    optimizer core): d = ||P' t|| / ||P' R p||; target depth is the z of
+    R (d p) + t. Returns (d_src [..., N], d_tgt [..., N]).
+
+    The sign of d is recovered from the projection consistency: the formula
+    yields |d|; a negative-depth configuration shows up as the reprojection
+    landing on the antipode, detected via dot(P' R p, -P' t) orientation.
+    """
+    x, y = p_t[..., 0], p_t[..., 1]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    P0 = jnp.stack([one, zero, -x], axis=-1)
+    P1 = jnp.stack([zero, one, -y], axis=-1)
+    Rp = jnp.einsum("...ij,...nj->...ni", R, p)
+    A0 = jnp.einsum("...ni,...i->...n", P0, t)
+    A1 = jnp.einsum("...ni,...i->...n", P1, t)
+    B0 = jnp.einsum("...ni,...ni->...n", P0, Rp)
+    B1 = jnp.einsum("...ni,...ni->...n", P1, Rp)
+    # Signed least-squares depth: P'(R p d + t) = 0 => d = -(B . A)/(B . B)
+    # (2D dot over the two P' rows). This keeps the *sign* of d, which the
+    # norm-ratio form discards.
+    BdotA = B0 * A0 + B1 * A1
+    BdotB = B0 * B0 + B1 * B1
+    d_src = -BdotA / jnp.maximum(BdotB, _EPS)
+    X_t = Rp * d_src[..., None] + t[..., None, :]
+    return d_src, X_t[..., 2]
+
+
+def recover_pose(E: jnp.ndarray, p: jnp.ndarray, p_t: jnp.ndarray,
+                 mask: jnp.ndarray | None = None):
+    """Cheirality-checked pose recovery (ref ``recoverPose``, C14).
+
+    Args:
+      E: [3, 3] (or batched [..., 3, 3]) essential matrix.
+      p, p_t: [..., N, 3] normalized matches.
+      mask: optional [..., N] inlier mask — only these points vote.
+
+    Returns:
+      (R [..., 3, 3], t [..., 3], front [..., N] bool): the candidate with the
+      most points in front of both cameras, and the per-point cheirality mask
+      for that candidate (the reference's `mask==255` filter,
+      `kitti_E.cpp:174-186`).
+    """
+    Rs, ts = decompose(E)  # [..., 4, 3, 3], [..., 4, 3]
+    d_src, d_tgt = _depths_two_view(
+        Rs, ts, p[..., None, :, :], p_t[..., None, :, :]
+    )  # [..., 4, N]
+    front = (d_src > 0) & (d_tgt > 0)
+    votes = front
+    if mask is not None:
+        votes = votes & mask[..., None, :]
+    counts = jnp.sum(votes, axis=-1)  # [..., 4]
+    best = jnp.argmax(counts, axis=-1)
+    R = jnp.take_along_axis(Rs, best[..., None, None, None], axis=-3).squeeze(-3)
+    t = jnp.take_along_axis(ts, best[..., None, None], axis=-2).squeeze(-2)
+    front_best = jnp.take_along_axis(front, best[..., None, None], axis=-2).squeeze(-2)
+    return R, t, front_best
+
+
+def pose_fallback(R: jnp.ndarray, t: jnp.ndarray,
+                  fallback_t=(0.1, 0.1, -0.9),
+                  trace_min: float = 2.7,
+                  t_norm_min: float = 1e-5):
+    """Degenerate-pose guards (ref C15, `kitti_E.cpp:128-135`):
+    near-degenerate rotation -> identity + canned translation; vanishing
+    translation -> canned translation. Branch-free."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    bad_R = tr < trace_min
+    canned = jnp.asarray(fallback_t, R.dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    R_out = jnp.where(bad_R[..., None, None], eye, R)
+    t_out = jnp.where(bad_R[..., None], jnp.broadcast_to(canned, t.shape), t)
+    bad_t = jnp.linalg.norm(t_out, axis=-1) < t_norm_min
+    t_out = jnp.where(bad_t[..., None], jnp.broadcast_to(canned, t.shape), t_out)
+    return R_out, t_out

@@ -1,0 +1,131 @@
+"""Batched robust model estimation: RANSAC and LMedS over TPU lanes.
+
+The reference calls OpenCV's serial ``findEssentialMat`` with per-driver
+policies (SURVEY.md C13: RANSAC 0.95-0.999 / thresholds 0.01-1.0 px, LMedS
+0.99). Here hypothesis generation, solving, and scoring are all batched:
+``n_hyp`` minimal samples are drawn at once, solved with one vmapped
+8-point SVD, scored against all N matches with one einsum, and reduced with
+a single argmax — the shape of computation TPUs are built for, and the same
+shape scales across chips by sharding the hypothesis axis (see
+``epivo_tpu.parallel``).
+
+Fixed shapes: both the match count N (padded, with ``mask``) and the
+hypothesis count are static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from epivo_tpu.geometry import essential
+
+MIN_SAMPLE = 8  # 8-point minimal sample (see essential.py for rationale)
+
+
+class RansacResult(NamedTuple):
+    E: jnp.ndarray  # [3, 3] best (refit) essential matrix
+    inliers: jnp.ndarray  # [N] bool
+    n_inliers: jnp.ndarray  # [] int32
+    best_score: jnp.ndarray  # [] hypothesis score (count or -median)
+
+
+def n_iterations(confidence: float, outlier_ratio: float,
+                 sample_size: int = MIN_SAMPLE) -> int:
+    """Classic RANSAC iteration count: log(1-conf)/log(1-(1-out)^m)."""
+    w = (1.0 - outlier_ratio) ** sample_size
+    if w <= 0:
+        return 1 << 14
+    return max(1, int(math.ceil(math.log(max(1e-12, 1.0 - confidence))
+                                / math.log(1.0 - min(w, 1 - 1e-12)))))
+
+
+def _sample_indices(key, n_hyp: int, N: int, mask: jnp.ndarray | None):
+    """[n_hyp, 8] sample indices, approx. without replacement, valid-only.
+
+    Gumbel-top-k over the validity mask: one sort per hypothesis, no
+    data-dependent rejection loops.
+    """
+    g = jax.random.gumbel(key, (n_hyp, N))
+    if mask is not None:
+        g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, MIN_SAMPLE)
+    return idx
+
+
+def ransac_essential(
+    key,
+    p: jnp.ndarray,
+    p_t: jnp.ndarray,
+    n_hyp: int = 512,
+    threshold: float = 1e-3,
+    mask: jnp.ndarray | None = None,
+    method: str = "ransac",
+    refit: bool = True,
+) -> RansacResult:
+    """Robust essential-matrix estimation over batched hypotheses.
+
+    Args:
+      p, p_t: [N, 3] normalized matches (padded; use ``mask``).
+      n_hyp: static hypothesis count (e.g. from :func:`n_iterations`).
+      threshold: Sampson inlier threshold in normalized units
+        (pixel_threshold / focal_length — how OpenCV scales it internally).
+      mask: [N] validity of the padded matches.
+      method: "ransac" (inlier count) or "lmeds" (least median of squares,
+        the reference's LMedS path `kitti_E.cpp:98-104`).
+      refit: refit E on the winning inlier set (weighted 8-point).
+
+    Returns: :class:`RansacResult`.
+    """
+    N = p.shape[0]
+    valid = mask if mask is not None else jnp.ones((N,), bool)
+    n_valid = jnp.sum(valid)
+
+    idx = _sample_indices(key, n_hyp, N, mask)  # [n_hyp, 8]
+    p_s = p[idx]  # [n_hyp, 8, 3]
+    p_ts = p_t[idx]
+    Es = essential.eight_point(p_s, p_ts)  # [n_hyp, 3, 3]
+
+    err = essential.sampson_error(Es, p[None], p_t[None])  # [n_hyp, N]
+    err = jnp.where(valid[None, :], err, jnp.inf)
+
+    if method == "lmeds":
+        # Median over valid entries: sort and index at n_valid // 2.
+        err_sorted = jnp.sort(jnp.where(valid[None, :], err, jnp.inf), axis=-1)
+        med = err_sorted[:, jnp.clip(n_valid // 2, 0, N - 1)]
+        score = -med
+        best = jnp.argmax(score)
+        best_med = med[best]
+        # OpenCV-style robust sigma from the best median
+        # (modules/calib3d LMeDS): 2.5 * 1.4826 * (1 + 5/(n-8)) * sqrt(med).
+        sigma = 2.5 * 1.4826 * (1.0 + 5.0 / jnp.maximum(n_valid - 8, 1)) * jnp.sqrt(
+            jnp.maximum(best_med, 1e-18)
+        )
+        thr = jnp.maximum(sigma * sigma, jnp.asarray(threshold, p.dtype) ** 1)
+    else:
+        inl = (err < threshold) & valid[None, :]
+        score = jnp.sum(inl, axis=-1).astype(p.dtype)
+        best = jnp.argmax(score)
+        thr = jnp.asarray(threshold, p.dtype)
+
+    E_best = Es[best]
+    inliers = (essential.sampson_error(E_best, p, p_t) < thr) & valid
+    if refit:
+        w = inliers.astype(p.dtype)
+        # Guard: if fewer than 8 inliers, fall back to the raw hypothesis.
+        enough = jnp.sum(inliers) >= MIN_SAMPLE
+        E_refit = essential.eight_point(p, p_t, weights=w)
+        E_final = jnp.where(enough, E_refit, E_best)
+        inliers = (essential.sampson_error(E_final, p, p_t) < thr) & valid
+    else:
+        E_final = E_best
+
+    return RansacResult(
+        E=E_final,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers).astype(jnp.int32),
+        best_score=score[best],
+    )
