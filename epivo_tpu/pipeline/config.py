@@ -1,0 +1,65 @@
+"""Pipeline configuration dataclasses.
+
+Replaces the reference's hardcoded-literals-and-commented-code config style
+(SURVEY.md §5 "Config / flag system: ABSENT"; e.g. mono/stereo switching by
+commenting blocks at `kitti_ba.cpp:1113-1163`). All knobs that the
+reference scatters as magic numbers live here with their reference sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from epivo_tpu.geometry import camera as cam
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    fast_threshold: float = 40.0  # ref `kitti_E.cpp:71`
+    max_keypoints: int = 1024  # fixed budget (replaces dynamic kp vectors)
+    klt_window: int = 21  # OpenCV default the reference relies on
+    klt_levels: int = 4
+    klt_iters: int = 30
+    klt_min_eig: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    n_hyp: int = 512
+    confidence: float = 0.99  # ref `kitti_E.cpp:102`
+    threshold_px: float = 1.0  # pixel threshold; normalized by fx at use
+    method: str = "ransac"  # or "lmeds" (ref kitti_E uses LMEDS)
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    lambda0: float = 1e-2  # ref `kitti_E.cpp:196`, `kitti_ba.cpp:1044`
+    epsilon: float = 1e-8
+    max_iters: int = 30  # ref `jac_Rt_gen_.cpp:323`
+    huber_delta: float = 1e-5  # ref `jac_Rt_gen_.cpp:17`
+    n_points: int = 48  # ref `kitti_E.cpp:170` (BA windows use 32, :777)
+    revert_r_norm: float = 1e-9  # ref `kitti_E.cpp:198` (BA: 1e-2, :892)
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Two-view VO pipeline (kitti_E equivalent)."""
+
+    camera: cam.Pinhole = cam.KITTI_00
+    frontend: FrontendConfig = FrontendConfig()
+    ransac: RansacConfig = RansacConfig()
+    lm: LMConfig = LMConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Windowed BA pipeline (kitti_ba equivalent)."""
+
+    camera: cam.Pinhole = cam.KITTI_00
+    frontend: FrontendConfig = FrontendConfig()
+    ransac: RansacConfig = RansacConfig(confidence=0.99, threshold_px=1.0)
+    lm: LMConfig = dataclasses.field(
+        default_factory=lambda: LMConfig(n_points=32, revert_r_norm=1e-2)
+    )
+    window_size: int = 3  # ws, ref `kitti_ba.cpp:1107`
+    stride: int = 2  # stridew = ws - 1, ref `kitti_ba.cpp:1134`

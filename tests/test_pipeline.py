@@ -1,0 +1,211 @@
+"""End-to-end pipeline tests: two-view VO step and windowed BA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epivo_tpu.datasets import synthetic
+from epivo_tpu.geometry import camera, se3
+from epivo_tpu.pipeline import ba, vo
+from epivo_tpu.pipeline.config import BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig
+
+
+def render(points_3d, K, T, H, W, sigma=1.5):
+    R, t = se3.matrix_to_rt(T)
+    Xc = points_3d @ R.T + t
+    uv = (Xc / Xc[:, 2:3]) @ K.T
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    img = jnp.zeros((H, W), jnp.float32)
+    for i in range(uv.shape[0]):
+        u, v = uv[i, 0], uv[i, 1]
+        img += 255.0 * jnp.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2 * sigma**2))
+    return jnp.clip(img, 0, 255)
+
+
+SMALL_CFG = VOConfig(
+    camera=camera.Pinhole(fx=200.0, fy=200.0, cx=80.0, cy=60.0, width=160, height=120),
+    frontend=FrontendConfig(fast_threshold=15.0, max_keypoints=128, klt_levels=3),
+    ransac=RansacConfig(n_hyp=256),
+    lm=LMConfig(n_points=32, revert_r_norm=1e-6),
+)
+
+
+def test_vo_step_synthetic_scene():
+    H, W = 120, 160
+    cfg = SMALL_CFG
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = jax.random.uniform(k1, (90,), minval=6.0, maxval=15.0)
+    xy = jax.random.uniform(k2, (90, 2), minval=-0.4, maxval=0.4) * z[:, None]
+    X = jnp.concatenate([xy, z[:, None]], axis=-1)
+    xi = jnp.array([0.05, -0.03, 0.4, 0.01, -0.015, 0.008])
+    T_gt = se3.se3_exp(xi)
+
+    img0 = render(X, cfg.camera.K(), se3.identity(), H, W)
+    img1 = render(X, cfg.camera.K(), T_gt, H, W)
+
+    res = vo.vo_step(img0, img1, k3, cfg)
+    assert int(res.n_tracked) > 40
+    assert int(res.n_inliers) > 30
+    R_gt, t_gt = se3.matrix_to_rt(T_gt)
+    rot_err = float(jnp.linalg.norm(res.T[:3, :3] - R_gt))
+    t_dir = res.T[:3, 3] / jnp.linalg.norm(res.T[:3, 3])
+    t_gt_d = t_gt / jnp.linalg.norm(t_gt)
+    assert rot_err < 0.02, rot_err
+    # ~0.3 px median tracking error on this aliased blob scene bounds the
+    # epipole accuracy; 0.15 direction error is the realistic envelope.
+    assert float(jnp.linalg.norm(t_dir - t_gt_d)) < 0.15
+
+
+def test_apply_scale_and_accumulate():
+    xi = jnp.array([[0.0, 0.0, 0.5, 0.0, 0.0, 0.0],
+                    [0.0, 0.0, 0.7, 0.0, 0.05, 0.0]])
+    dTs = se3.se3_exp(xi)
+    scaled = vo.apply_scale(dTs, jnp.array([2.0, 3.0]))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(scaled[:, :3, 3]), axis=-1), [2.0, 3.0],
+        rtol=1e-5,
+    )
+    traj = vo.accumulate_trajectory(scaled)
+    assert traj.shape == (3, 4, 4)
+    np.testing.assert_allclose(np.asarray(traj[0]), np.eye(4))
+    # Forward motion accumulates negatively in z under cT @ inv(dT).
+    assert float(traj[2][2, 3]) < -4.0
+
+
+def _windows_scene(key, n_windows, spec, N=24):
+    scenes = [
+        synthetic.gen_scene_sequence(
+            k, N=N, n_zeta=spec.n_zeta, reps=[tuple(r) for r in spec.reps],
+            rot_noise=0.04, t_noise=0.08,
+        )
+        for k in jax.random.split(key, n_windows)
+    ]
+    T0s = jnp.stack([s.T0s for s in scenes])
+    Ts = jnp.stack([s.Ts for s in scenes])
+    p = jnp.stack([s.p for s in scenes])
+    p_t = jnp.stack([s.p_t for s in scenes])
+    return Ts, T0s, p, p_t
+
+
+def test_ba_windows_mono_recovery():
+    spec = ba.mono_window_spec(ws=3)
+    Ts, T0s, p, p_t = _windows_scene(jax.random.PRNGKey(1), 4, spec)
+    cfg = BAConfig(lm=LMConfig(n_points=24, huber_delta=1.0, revert_r_norm=10.0))
+    out = ba.ba_windows(T0s, spec, p, p_t, config=cfg)
+    assert not bool(jnp.any(out.reverted))
+    for w in range(4):
+        for z in range(spec.n_zeta):
+            init = float(jnp.linalg.norm(T0s[w, z, :3, :3] - Ts[w, z, :3, :3]))
+            fin = float(jnp.linalg.norm(out.T_opt[w, z, :3, :3] - Ts[w, z, :3, :3]))
+            assert fin < max(0.1 * init, 5e-3), (w, z, init, fin)
+
+
+def test_ba_windows_revert_on_garbage():
+    spec = ba.mono_window_spec(ws=3)
+    Ts, T0s, p, p_t = _windows_scene(jax.random.PRNGKey(2), 2, spec)
+    # Window 1 gets garbage correspondences -> LM can't fit -> revert.
+    key = jax.random.PRNGKey(3)
+    p_t = p_t.at[1].set(jax.random.normal(key, p_t[1].shape) * 2.0)
+    cfg = BAConfig(lm=LMConfig(n_points=24, huber_delta=1.0, revert_r_norm=1e-2))
+    out = ba.ba_windows(T0s, spec, p, p_t, config=cfg)
+    assert not bool(out.reverted[0])
+    assert bool(out.reverted[1])
+    np.testing.assert_allclose(np.asarray(out.T_opt[1]), np.asarray(T0s[1]),
+                               atol=1e-6)
+
+
+def test_stitch_and_trajectory():
+    spec = ba.mono_window_spec(ws=3)
+    Ts, T0s, p, p_t = _windows_scene(jax.random.PRNGKey(4), 3, spec)
+    zetas = ba.stitch_windows(Ts)
+    assert zetas.shape == (6, 4, 4)
+    traj = ba.trajectory_from_zetas(zetas)
+    assert traj.shape == (7, 4, 4)
+    # Last pose equals the chained inverse product.
+    expect = np.eye(4)
+    for j in range(6):
+        expect = expect @ np.asarray(se3.inverse(zetas[j]))
+    np.testing.assert_allclose(np.asarray(traj[-1]), expect, atol=1e-4)
+
+
+def test_stereo_spec_structure():
+    spec, w = ba.stereo_window_spec(ws=3, freeze_rig=True)
+    assert spec.n_zeta == 4
+    assert spec.reps.shape[0] == 6
+    assert list(spec.zeta_mask) == [False, True, False, True]
+    np.testing.assert_allclose(w, [1, 1, 0, 1, 1, 0])
+
+
+def test_stereo_ba_frozen_rig():
+    """Cross zetas recovered while rig zetas stay exactly at calibration."""
+    spec, w = ba.stereo_window_spec(ws=3, freeze_rig=True)
+    key = jax.random.PRNGKey(5)
+    # Build GT chain: rig = fixed small baseline, cross = random motion.
+    T_rig = se3.se3_exp(jnp.array([0.54, 0.0, 0.0, 0.0, 0.0, 0.0]))  # KITTI-ish
+    ks = jax.random.split(key, 8)
+    Ts = []
+    for s in range(2):
+        Ts.append(T_rig)
+        Ts.append(synthetic.random_pose(ks[s]))
+    Ts = jnp.stack(Ts)  # [4,4,4] rig,cross,rig,cross
+
+    # Points per constraint span from the GT chain.
+    ps, pts_l = [], []
+    for i, (z0, z1) in enumerate(spec.reps):
+        T = synthetic.compose_span(Ts, int(z0), int(z1))
+        _, p_, p_t_ = synthetic.gen_points(ks[2 + i], 24, T)
+        ps.append(p_)
+        pts_l.append(p_t_)
+    p = jnp.stack(ps)[None]
+    p_t = jnp.stack(pts_l)[None]
+
+    # Init: rig at calibration (exact), cross perturbed.
+    T0s = Ts
+    for z in [1, 3]:
+        T0s = T0s.at[z].set(synthetic.perturb_pose(ks[6], Ts[z]))
+    T0s = T0s[None]
+
+    cfg = BAConfig(lm=LMConfig(n_points=24, huber_delta=1.0, revert_r_norm=10.0))
+    out = ba.ba_windows(T0s, spec, p, p_t, wreps=jnp.asarray(w)[None], config=cfg)
+    # Rig zetas unchanged.
+    np.testing.assert_allclose(np.asarray(out.T_opt[0, 0]), np.asarray(T_rig),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.T_opt[0, 2]), np.asarray(T_rig),
+                               atol=1e-6)
+    # Cross zetas recovered.
+    for z in [1, 3]:
+        init = float(jnp.linalg.norm(T0s[0, z, :3, :3] - Ts[z, :3, :3]))
+        fin = float(jnp.linalg.norm(out.T_opt[0, z, :3, :3] - Ts[z, :3, :3]))
+        assert fin < max(0.15 * init, 1e-2), (z, init, fin)
+    # Metric scale: translations should match GT magnitudes (baseline anchors).
+    for z in [1, 3]:
+        tn_gt = float(jnp.linalg.norm(Ts[z, :3, 3]))
+        tn = float(jnp.linalg.norm(out.T_opt[0, z, :3, 3]))
+        assert abs(tn - tn_gt) / tn_gt < 0.2, (z, tn, tn_gt)
+
+
+def test_stereo_left_trajectory():
+    T_rig = se3.se3_exp(jnp.array([0.5, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    cross = se3.se3_exp(jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]))
+    zetas = jnp.stack([T_rig, cross, T_rig, cross])
+    traj = ba.stereo_left_trajectory(zetas)
+    assert traj.shape == (3, 4, 4)
+    LtoL = np.asarray(cross @ T_rig)
+    np.testing.assert_allclose(np.asarray(traj[1]),
+                               np.linalg.inv(LtoL), atol=1e-5)
+
+
+def test_propagate_scale():
+    zetas = se3.se3_exp(jnp.array([[0.0, 0.0, 0.5, 0.0, 0.0, 0.0],
+                                   [0.0, 0.0, 2.0, 0.1, 0.0, 0.0]]))
+    out = ba.propagate_scale(zetas, jnp.array([1.5, 0.5]))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out[:, :3, 3]), axis=-1), [1.5, 0.5], rtol=1e-5
+    )
+    unit = ba.propagate_scale(zetas)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(unit[:, :3, 3]), axis=-1), [1.0, 1.0], rtol=1e-5
+    )
