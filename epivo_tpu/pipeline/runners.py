@@ -1,0 +1,262 @@
+"""Sequence runners: full-dataset drivers (the reference's main() loops).
+
+``run_vo_sequence`` is the kitti_E / euroc_E equivalent (two-view VO per
+consecutive pair, GT scale injection, trajectory accumulation, cloud);
+``run_ba_sequence`` is the kitti_ba equivalent (windowed constraints ->
+batched LM -> stitched trajectory).
+
+Host/device split: PNG decode and GT parsing stay on host (the reference's
+producer thread role, `kitti_ba.cpp:1118-1125`); frames upload in batches
+and all per-pair work runs inside ONE jitted, vmapped call per batch —
+amortizing dispatch and filling the chip, where the reference processes
+pairs serially.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epivo_tpu.eval import metrics
+from epivo_tpu.geometry import se3
+from epivo_tpu.pipeline import ba as ba_mod, vo
+from epivo_tpu.pipeline.config import BAConfig, VOConfig
+
+
+class SequenceResult(NamedTuple):
+    trajectory: np.ndarray  # [F, 4, 4] estimated camera-to-world
+    gt_trajectory: np.ndarray | None  # [F, 4, 4] or None
+    ate: float | None
+    rpe_t: float | None
+    cloud: np.ndarray  # [N, 3] triangulated world points
+    cloud_limits: np.ndarray  # [F-1] cumulative counts per frame (lims file)
+    per_frame: dict  # diagnostics arrays
+
+
+def _batched_vo(config: VOConfig, batch: int):
+    """jit of vmapped vo_step over a batch of consecutive pairs."""
+
+    def run(frames, keys):
+        # frames [B+1, H, W] -> pairs (i, i+1)
+        src = frames[:-1]
+        tgt = frames[1:]
+        return jax.vmap(lambda a, b, k: vo.vo_step(a, b, k, config))(src, tgt, keys)
+
+    return jax.jit(run)
+
+
+def run_vo_sequence(
+    frames: Iterable[np.ndarray],
+    config: VOConfig,
+    gt_poses: np.ndarray | None = None,
+    batch: int = 8,
+    seed: int = 0,
+    collect_cloud: bool = True,
+) -> SequenceResult:
+    """Two-view VO over a frame stream (ref `kitti_E.cpp:54-255`).
+
+    gt_poses supplies the per-step scale exactly as the reference does
+    (`kitti_E.cpp:218-223`); without GT, steps keep unit translation norm.
+    """
+    step_fn = _batched_vo(config, batch)
+    key = jax.random.PRNGKey(seed)
+
+    frames = iter(frames)
+    try:
+        first = next(frames)
+    except StopIteration:
+        raise ValueError("empty frame stream")
+
+    buf = [np.asarray(first, np.float32)]
+    dTs, n_inl, n_trk, reverted = [], [], [], []
+    clouds, limits = [], []
+    total_pts = 0
+    fidx = 0
+
+    def flush(buf):
+        nonlocal key, fidx, total_pts
+        if len(buf) < 2:
+            return
+        stack = jnp.asarray(np.stack(buf))
+        B = stack.shape[0] - 1
+        key, sub = jax.random.split(key)
+        res = step_fn(stack, jax.random.split(sub, B))
+        T = np.asarray(res.T)
+        dTs.extend(T)
+        n_inl.extend(np.asarray(res.n_inliers))
+        n_trk.extend(np.asarray(res.n_tracked))
+        reverted.extend(np.asarray(res.reverted))
+        if collect_cloud:
+            pts = np.asarray(res.points)
+            val = np.asarray(res.points_valid)
+            for b in range(B):
+                clouds.append(pts[b][val[b]])
+                limits.append(total_pts)
+                total_pts += int(val[b].sum())
+        fidx += B
+
+    for f in frames:
+        buf.append(np.asarray(f, np.float32))
+        if len(buf) == batch + 1:
+            flush(buf)
+            buf = [buf[-1]]
+    flush(buf)
+
+    dTs = np.stack(dTs) if dTs else np.zeros((0, 4, 4))
+    F = dTs.shape[0]
+
+    # Scale injection + accumulation (host: tiny 4x4 chains).
+    if gt_poses is not None:
+        rel = np.linalg.inv(gt_poses[:F]) @ gt_poses[1 : F + 1]
+        scales = np.linalg.norm(rel[:, :3, 3], axis=-1)
+    else:
+        scales = np.ones(F)
+    dTs_scaled = np.asarray(
+        vo.apply_scale(jnp.asarray(dTs), jnp.asarray(scales))
+    ) if F else dTs
+    traj = np.asarray(vo.accumulate_trajectory(jnp.asarray(dTs_scaled))) if F else np.eye(4)[None]
+
+    # World-frame cloud: points are in each source camera frame.
+    world_cloud = []
+    for i, pts in enumerate(clouds):
+        Tw = traj[i]
+        world_cloud.append(pts @ Tw[:3, :3].T + Tw[:3, 3])
+    cloud = np.concatenate(world_cloud) if world_cloud else np.zeros((0, 3))
+
+    ate = rpe_t = None
+    gt_traj = None
+    if gt_poses is not None and F:
+        gt_traj = gt_poses[: F + 1]
+        # Align GT to our convention: both start at identity.
+        gt_traj = np.linalg.inv(gt_traj[0])[None] @ gt_traj
+        ate = metrics.ate_rmse(traj, gt_traj, align=True, with_scale=False)
+        rpe_t, _ = metrics.rpe(traj, gt_traj)
+
+    return SequenceResult(
+        trajectory=traj,
+        gt_trajectory=gt_traj,
+        ate=ate,
+        rpe_t=rpe_t,
+        cloud=cloud,
+        cloud_limits=np.asarray(limits, np.int64),
+        per_frame={
+            "n_inliers": np.asarray(n_inl),
+            "n_tracked": np.asarray(n_trk),
+            "reverted": np.asarray(reverted),
+            "scales": scales,
+        },
+    )
+
+
+def run_ba_sequence(
+    frames: Iterable[np.ndarray],
+    config: BAConfig,
+    gt_poses: np.ndarray | None = None,
+    seed: int = 0,
+) -> SequenceResult:
+    """Windowed mono BA over a frame sequence (ref `kitti_ba` mono path).
+
+    Stage 1 (this function, two-view): per window, constraints for the
+    frame pairs in ``ba.mono_window_spec`` are initialized with the VO step
+    (the reference's `_initializer`, `kitti_ba.cpp:280-349`).
+    Stage 2: all windows solve in ONE batched LM call.
+    """
+    frames = [np.asarray(f, np.float32) for f in frames]
+    F = len(frames)
+    ws = config.window_size
+    spec = ba_mod.mono_window_spec(ws)
+    stride = config.stride
+    anchors = list(range(0, F - ws + 1, stride))
+    if not anchors:
+        raise ValueError(f"need at least {ws} frames, got {F}")
+
+    vo_cfg = VOConfig(camera=config.camera, frontend=config.frontend,
+                      ransac=config.ransac, lm=config.lm)
+    # Match extraction for every (global) pair needed by any window.
+    pairs = sorted(
+        {(a + int(p0), a + int(p1)) for a in anchors
+         for p0, p1 in spec.frame_pairs if a + int(p1) < F}
+    )
+    pair_step = jax.jit(
+        lambda a, b, k: vo.vo_step(a, b, k, vo_cfg)
+    )
+    key = jax.random.PRNGKey(seed)
+    N = config.lm.n_points
+    pair_data = {}
+    for (i, j) in pairs:
+        key, sub = jax.random.split(key)
+        res = pair_step(jnp.asarray(frames[i]), jnp.asarray(frames[j]), sub)
+        sel = np.asarray(res.points_valid)
+        p0 = np.asarray(vo.cam.normalize(res.matches_src, config.camera.K_inv()))
+        p1 = np.asarray(vo.cam.normalize(res.matches_tgt, config.camera.K_inv()))
+        order = np.argsort(~sel)
+        take = order[:N]
+        pair_data[(i, j)] = dict(
+            p=p0[take], p_t=p1[take], mask=sel[take], T=np.asarray(res.T),
+        )
+
+    # Assemble window tensors.
+    W = len(anchors)
+    R_ = spec.reps.shape[0]
+    p = np.zeros((W, R_, N, 3), np.float32)
+    p_t = np.zeros((W, R_, N, 3), np.float32)
+    pmask = np.zeros((W, R_, N), bool)
+    wreps = np.ones((W, R_), np.float32)
+    T0s = np.tile(np.eye(4, dtype=np.float32), (W, spec.n_zeta, 1, 1))
+    for w, a in enumerate(anchors):
+        for r, (f0, f1) in enumerate(spec.frame_pairs):
+            gi, gj = a + int(f0), a + int(f1)
+            if (gi, gj) not in pair_data:
+                wreps[w, r] = 0.0  # underfilled constraint: zero weight
+                continue
+            d = pair_data[(gi, gj)]
+            p[w, r] = d["p"]
+            p_t[w, r] = d["p_t"]
+            pmask[w, r] = d["mask"]
+            # Zero-weight underfilled constraints (ref kitti_ba.cpp:821-826).
+            if d["mask"].sum() < max(8, N // 4):
+                wreps[w, r] = 0.0
+        for z in range(spec.n_zeta):
+            gi, gj = a + z, a + z + 1
+            if (gi, gj) in pair_data:
+                T0s[w, z] = pair_data[(gi, gj)]["T"]
+
+    out = ba_mod.ba_windows(
+        jnp.asarray(T0s), spec, jnp.asarray(p), jnp.asarray(p_t),
+        wreps=jnp.asarray(wreps), pmask=jnp.asarray(pmask), config=config,
+    )
+    zetas = np.asarray(ba_mod.stitch_windows(out.T_opt))[: F - 1]
+
+    if gt_poses is not None:
+        rel = np.linalg.inv(gt_poses[: len(zetas)]) @ gt_poses[1 : len(zetas) + 1]
+        scales = np.linalg.norm(rel[:, :3, 3], axis=-1)
+    else:
+        scales = None
+    zetas = np.asarray(ba_mod.propagate_scale(jnp.asarray(zetas),
+                                              None if scales is None else jnp.asarray(scales)))
+    traj = np.asarray(ba_mod.trajectory_from_zetas(jnp.asarray(zetas)))
+
+    ate = rpe_t = None
+    gt_traj = None
+    if gt_poses is not None:
+        gt_traj = gt_poses[: traj.shape[0]]
+        gt_traj = np.linalg.inv(gt_traj[0])[None] @ gt_traj
+        ate = metrics.ate_rmse(traj, gt_traj, align=True, with_scale=False)
+        rpe_t, _ = metrics.rpe(traj, gt_traj)
+
+    return SequenceResult(
+        trajectory=traj,
+        gt_trajectory=gt_traj,
+        ate=ate,
+        rpe_t=rpe_t,
+        cloud=np.zeros((0, 3)),
+        cloud_limits=np.zeros(0, np.int64),
+        per_frame={
+            "window_r_norm": np.asarray(out.r_norm),
+            "window_reverted": np.asarray(out.reverted),
+        },
+    )

@@ -1,0 +1,131 @@
+"""Parity tests against OpenCV — the library the reference is built on.
+
+cv2 is a *test-only* oracle here: the framework never imports it. These
+tests pin our TPU-native kernels to the exact behaviors the reference
+relies on (FAST corners, pyramidal LK, essential matrix + recoverPose).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from epivo_tpu import ransac as rm
+from epivo_tpu.datasets import synthetic
+from epivo_tpu.frontend import fast, klt
+from epivo_tpu.geometry import essential, se3
+
+
+def textured(H=160, W=200, seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(rng.normal(size=(H, W)), 2.0)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return img.astype(np.float32)
+
+
+def test_fast_corners_match_opencv():
+    """Same corners (positions) as cv2 FAST with NMS at equal threshold."""
+    img = textured()
+    thr = 25
+    det = cv2.FastFeatureDetector_create(thr, nonmaxSuppression=True)
+    kp_cv = det.detect(img.astype(np.uint8), None)
+    cv_pts = {(int(round(k.pt[0])), int(round(k.pt[1]))) for k in kp_cv
+              if 3 <= k.pt[0] < 200 - 3 and 3 <= k.pt[1] < 160 - 3}
+
+    ours = fast.detect(jnp.asarray(np.float32(np.uint8(img))), float(thr), 512)
+    our_pts = {
+        (int(x), int(y))
+        for (x, y), v in zip(np.asarray(ours.xy), np.asarray(ours.valid)) if v
+    }
+    if not cv_pts:
+        pytest.skip("no cv2 corners on this texture")
+    # Allow NMS tie-break differences at adjacent pixels: count cv corners
+    # with one of ours within 1 px.
+    hit = 0
+    for (x, y) in cv_pts:
+        if any(abs(x - a) <= 1 and abs(y - b) <= 1 for (a, b) in our_pts):
+            hit += 1
+    recall = hit / len(cv_pts)
+    assert recall > 0.9, (recall, len(cv_pts), len(our_pts))
+
+
+def test_klt_matches_opencv_flow():
+    img0 = textured(seed=1)
+    from scipy.ndimage import shift as ndi_shift
+
+    img1 = ndi_shift(img0, (2.3, -3.7), order=3).astype(np.float32)
+    pts = np.array([[60.0, 50.0], [120.0, 80.0], [90.0, 100.0], [140.0, 40.0]],
+                   np.float32)
+
+    cv_next, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+        img0.astype(np.uint8), img1.astype(np.uint8),
+        pts.reshape(-1, 1, 2), None,
+        winSize=(21, 21), maxLevel=3,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
+    )
+    ours = klt.track(jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+                     levels=4)
+    ok = np.asarray(ours.status) & (cv_st.reshape(-1) == 1)
+    assert ok.sum() >= 3
+    diff = np.abs(np.asarray(ours.xy)[ok] - cv_next.reshape(-1, 2)[ok])
+    assert diff.max() < 0.5, diff
+
+
+def test_essential_matches_opencv():
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    T = synthetic.random_pose(k1)
+    _, p, p_t = synthetic.gen_points(k2, 64, T)
+    p_np = np.asarray(p)[:, :2]
+    p_t_np = np.asarray(p_t)[:, :2]
+
+    E_cv, _ = cv2.findEssentialMat(
+        p_np, p_t_np, np.eye(3), method=cv2.RANSAC, prob=0.999, threshold=1e-3
+    )
+    E_cv = E_cv[:3] / np.linalg.norm(E_cv[:3])
+    E_ours = np.asarray(essential.eight_point(p, p_t))
+    E_ours = E_ours / np.linalg.norm(E_ours)
+    err = min(np.linalg.norm(E_ours - E_cv), np.linalg.norm(E_ours + E_cv))
+    assert err < 5e-3, err
+
+
+def test_recover_pose_matches_opencv():
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    T = synthetic.random_pose(k1)
+    _, p, p_t = synthetic.gen_points(k2, 64, T)
+    E = np.asarray(se3.hat(T[:3, 3]) @ T[:3, :3], dtype=np.float64)
+    E = E / np.linalg.norm(E)
+    p_np = np.asarray(p, dtype=np.float64)[:, :2]
+    p_t_np = np.asarray(p_t, dtype=np.float64)[:, :2]
+
+    _, R_cv, t_cv, _ = cv2.recoverPose(E, p_np, p_t_np, np.eye(3))
+    R_ours, t_ours, _ = essential.recover_pose(jnp.asarray(E), p, p_t)
+    np.testing.assert_allclose(np.asarray(R_ours), R_cv, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_ours), t_cv.reshape(-1), atol=1e-4)
+
+
+def test_ransac_inliers_match_opencv_quality():
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    T = synthetic.random_pose(k1)
+    _, p, p_t = synthetic.gen_points(k2, 128, T)
+    noise = jax.random.normal(k3, (38, 2)) * 0.3
+    p_t = p_t.at[:38, :2].add(noise)
+    p_np = np.asarray(p)[:, :2]
+    p_t_np = np.asarray(p_t)[:, :2]
+
+    _, mask_cv = cv2.findEssentialMat(
+        p_np, p_t_np, np.eye(3), method=cv2.RANSAC, prob=0.999, threshold=3e-3
+    )
+    res = rm.ransac_essential(jax.random.PRNGKey(0), p, jnp.asarray(p_t),
+                              n_hyp=512, threshold=9e-6)
+    ours = np.asarray(res.inliers)
+    cv = mask_cv.reshape(-1).astype(bool)
+    agree = (ours == cv).mean()
+    assert agree > 0.9, agree

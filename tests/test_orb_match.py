@@ -1,0 +1,145 @@
+"""Tests for oriented BRIEF descriptors and MXU Hamming matching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epivo_tpu.frontend import fast, match, orb
+
+
+def textured_image(H=128, W=160, seed=0, n_blobs=40):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = np.zeros((H, W), np.float32)
+    cs = rng.uniform(12, min(H, W) - 12, size=(n_blobs, 2))
+    amp = rng.uniform(80, 255, n_blobs)
+    sig = rng.uniform(1.2, 3.0, n_blobs)
+    for (cy, cx), a, s in zip(cs, amp, sig):
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s**2))
+    return jnp.asarray(np.clip(img, 0, 255))
+
+
+def test_pattern_deterministic():
+    p1 = orb.brief_pattern()
+    p2 = orb.brief_pattern()
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (256, 4)
+    assert np.abs(p1).max() <= orb.PATCH // 2
+
+
+def test_descriptor_shapes_and_packing():
+    img = textured_image()
+    kp = fast.detect(img, 15.0, 64)
+    d = orb.describe(img, kp.xy, kp.valid)
+    assert d.signs.shape == (64, 256)
+    assert d.packed.shape == (64, 8)
+    assert set(np.unique(np.asarray(d.signs))) <= {-1.0, 1.0}
+    # packing round-trip
+    bits = ((np.asarray(d.packed)[:, :, None] >> np.arange(32)[None, None, :]) & 1)
+    np.testing.assert_array_equal(
+        bits.reshape(64, 256), (np.asarray(d.signs) > 0).astype(int)
+    )
+
+
+def test_descriptor_invariant_to_same_image():
+    img = textured_image()
+    kp = fast.detect(img, 15.0, 32)
+    d1 = orb.describe(img, kp.xy)
+    d2 = orb.describe(img, kp.xy)
+    np.testing.assert_array_equal(np.asarray(d1.signs), np.asarray(d2.signs))
+
+
+def test_descriptor_matches_under_translation():
+    img = textured_image()
+    shift = 5
+    img2 = jnp.roll(img, (0, shift), axis=(0, 1))
+    kp = fast.detect(img, 20.0, 48)
+    sel = np.asarray(kp.valid) & (np.asarray(kp.xy[:, 0]) < 160 - 16)
+    d1 = orb.describe(img, kp.xy, jnp.asarray(sel))
+    xy2 = kp.xy + jnp.array([shift, 0.0])
+    d2 = orb.describe(img2, xy2, jnp.asarray(sel))
+    # Same content => near-identical descriptors.
+    ham = (256 - jnp.einsum("kb,kb->k", d1.signs, d2.signs)) / 2
+    ham = np.asarray(ham)[sel]
+    assert np.median(ham) < 20, np.median(ham)
+
+
+def test_descriptor_rotation_steering():
+    """A rotated image should still match via steered descriptors."""
+    from scipy.ndimage import rotate
+
+    img_np = np.asarray(textured_image())
+    ang = 30.0
+    img_rot = rotate(img_np, -ang, reshape=False, order=3)
+    img = jnp.asarray(img_np)
+    img2 = jnp.asarray(img_rot.astype(np.float32))
+    # track one strong keypoint at image center region under rotation
+    kp = fast.detect(img, 25.0, 16)
+    c = np.array([img_np.shape[1] / 2 - 0.5, img_np.shape[0] / 2 - 0.5])
+    th = np.deg2rad(ang)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    xy1 = np.asarray(kp.xy)
+    xy2 = (R @ (xy1 - c).T).T + c
+    inb = (
+        (xy2[:, 0] > 20) & (xy2[:, 0] < 140) & (xy2[:, 1] > 20) & (xy2[:, 1] < 108)
+        & np.asarray(kp.valid)
+    )
+    d1 = orb.describe(img, kp.xy)
+    d2 = orb.describe(img2, jnp.asarray(xy2.astype(np.float32)))
+    ham = np.asarray((256 - jnp.einsum("kb,kb->k", d1.signs, d2.signs)) / 2)
+    assert np.median(ham[inb]) < 60, np.median(ham[inb])
+
+
+def test_hamming_table_exact():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(np.sign(rng.normal(size=(5, 256))).astype(np.float32))
+    b = jnp.asarray(np.sign(rng.normal(size=(7, 256))).astype(np.float32))
+    D = np.asarray(match.hamming_table(a, b))
+    for i in range(5):
+        for j in range(7):
+            expect = np.sum(np.asarray(a)[i] != np.asarray(b)[j])
+            assert D[i, j] == expect
+
+
+def test_match_cross_check_and_mask():
+    rng = np.random.default_rng(1)
+    base = np.sign(rng.normal(size=(20, 256))).astype(np.float32)
+    # set 2 = permuted set 1 with small corruption
+    perm = rng.permutation(20)
+    noisy = base[perm].copy()
+    flips = rng.integers(0, 256, size=(20, 10))
+    for i in range(20):
+        noisy[i, flips[i]] *= -1
+    res = match.match(jnp.asarray(base), jnp.asarray(noisy), max_dist=40.0)
+    idx = np.asarray(res.idx)
+    ok = np.asarray(res.valid)
+    assert ok.mean() > 0.9
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(idx[ok], inv[np.arange(20)][ok])
+    # invalid lanes excluded
+    v2 = jnp.asarray(np.arange(20) != inv[0])
+    res2 = match.match(jnp.asarray(base), jnp.asarray(noisy), valid2=v2)
+    assert not bool(res2.valid[0])
+
+
+def test_end_to_end_orb_matching_pipeline():
+    """FAST -> ORB -> Hamming match across a shifted image; matches should
+    land at the shifted positions (the reference's really_robust_ass path)."""
+    img = textured_image(seed=3)
+    shift = 7
+    img2 = jnp.roll(img, (0, shift), axis=(0, 1))
+    kp1 = fast.detect(img, 20.0, 64)
+    kp2 = fast.detect(img2, 20.0, 64)
+    d1 = orb.describe(img, kp1.xy, kp1.valid)
+    d2 = orb.describe(img2, kp2.xy, kp2.valid)
+    res = match.match(d1.signs, d2.signs, valid1=kp1.valid, valid2=kp2.valid,
+                      max_dist=60.0)
+    n_checked = 0
+    for i in np.flatnonzero(np.asarray(res.valid)):
+        p1 = np.asarray(kp1.xy[i])
+        p2 = np.asarray(kp2.xy[int(res.idx[i])])
+        if p1[0] + shift < 155:
+            np.testing.assert_allclose(p2, p1 + [shift, 0], atol=1.5)
+            n_checked += 1
+    assert n_checked >= 10

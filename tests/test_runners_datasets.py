@@ -1,0 +1,196 @@
+"""Tests for sequence runners and dataset adapters (fabricated fixtures)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epivo_tpu.datasets import euroc, kitti
+from epivo_tpu.geometry import camera, se3
+from epivo_tpu.pipeline import runners
+from epivo_tpu.pipeline.config import (
+    BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig,
+)
+from tests.test_pipeline import render
+
+
+CAM = camera.Pinhole(fx=200.0, fy=200.0, cx=80.0, cy=60.0, width=160, height=120)
+VO_CFG = VOConfig(
+    camera=CAM,
+    frontend=FrontendConfig(fast_threshold=15.0, max_keypoints=128, klt_levels=3),
+    ransac=RansacConfig(n_hyp=256),
+    lm=LMConfig(n_points=32, revert_r_norm=1e-6),
+)
+
+
+def make_sequence(F=6, seed=0):
+    """Rendered multi-frame sequence with GT camera-to-world poses."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, (140,), minval=6.0, maxval=18.0)
+    xy = jax.random.uniform(k2, (140, 2), minval=-0.7, maxval=0.7) * z[:, None]
+    X = jnp.concatenate([xy, z[:, None]], axis=-1)
+    frames, gt = [], [np.eye(4)]
+    T_wc = np.eye(4)
+    step = np.asarray(se3.se3_exp(jnp.array([0.02, -0.01, 0.35, 0.006, -0.01, 0.004])))
+    for f in range(F):
+        T_cw = np.linalg.inv(T_wc)  # camera-from-world
+        frames.append(np.asarray(render(X, CAM.K(), jnp.asarray(T_cw), 120, 160)))
+        # next camera pose: camera moves by inv(step) in world
+        T_wc = T_wc @ np.linalg.inv(step)
+        gt.append(T_wc)
+    return frames, np.stack(gt[:F])
+
+
+def test_run_vo_sequence():
+    frames, gt = make_sequence(F=6)
+    res = runners.run_vo_sequence(frames, VO_CFG, gt_poses=gt, batch=3)
+    assert res.trajectory.shape == (6, 4, 4)
+    assert res.ate is not None and res.ate < 0.1, res.ate
+    assert res.cloud.shape[0] > 50
+    assert len(res.cloud_limits) == 5
+    assert res.per_frame["n_inliers"].min() > 20
+
+
+def test_run_vo_sequence_no_gt():
+    frames, _ = make_sequence(F=4)
+    res = runners.run_vo_sequence(frames, VO_CFG, batch=4)
+    assert res.ate is None
+    # unit-norm steps
+    d = np.linalg.inv(res.trajectory[0]) @ res.trajectory[1]
+    np.testing.assert_allclose(np.linalg.norm(d[:3, 3]), 1.0, rtol=1e-4)
+
+
+def test_run_ba_sequence():
+    frames, gt = make_sequence(F=7)
+    cfg = BAConfig(
+        camera=CAM,
+        frontend=VO_CFG.frontend,
+        ransac=VO_CFG.ransac,
+        lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+    )
+    res = runners.run_ba_sequence(frames, cfg, gt_poses=gt)
+    assert res.trajectory.shape[0] >= 6
+    assert res.ate is not None and res.ate < 0.15, res.ate
+
+
+# ---------- dataset adapters on fabricated fixtures ----------
+
+
+def fake_kitti(tmp_path, F=4):
+    root = tmp_path / "kitti"
+    seq = root / "sequences" / "00" / "image_0"
+    os.makedirs(seq)
+    os.makedirs(root / "poses")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for i in range(F):
+        arr = (rng.uniform(0, 255, (37, 61))).astype(np.uint8)
+        Image.fromarray(arr, "L").save(seq / f"{i:06d}.png")
+    with open(root / "sequences" / "00" / "calib.txt", "w") as f:
+        P = "7.18856e+02 0 6.071928e+02 0 0 7.18856e+02 1.852157e+02 0 0 0 1 0"
+        P1 = "7.18856e+02 0 6.071928e+02 -3.861448e+02 0 7.18856e+02 1.852157e+02 0 0 0 1 0"
+        f.write(f"P0: {P}\nP1: {P1}\n")
+    poses = []
+    T = np.eye(4)
+    for i in range(F):
+        poses.append(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)))
+        T = T.copy()
+        T[2, 3] += 1.5
+    with open(root / "poses" / "00.txt", "w") as f:
+        f.write("\n".join(poses) + "\n")
+    return str(root)
+
+
+def test_kitti_adapter(tmp_path):
+    root = fake_kitti(tmp_path)
+    seq = kitti.KittiSequence(root=root, seq="00")
+    assert seq.exists()
+    assert seq.n_frames() == 4
+    img = seq.load_image(0)
+    assert img.shape == (37, 61) and img.dtype == np.float32
+    intr = seq.intrinsics()
+    np.testing.assert_allclose(intr.fx, 718.856, rtol=1e-5)
+    poses = seq.load_poses()
+    assert poses.shape == (4, 4, 4)
+    scales = kitti.gt_step_scales(poses)
+    np.testing.assert_allclose(scales, 1.5, rtol=1e-5)
+    T_lr = seq.stereo_baseline_T()
+    np.testing.assert_allclose(abs(T_lr[0, 3]), 3.861448e2 / 7.18856e2, rtol=1e-4)
+    frames = list(seq.frames())
+    assert len(frames) == 4
+
+
+def fake_euroc(tmp_path, F=3):
+    root = tmp_path / "MH_01_easy"
+    cam = root / "mav0" / "cam0"
+    os.makedirs(cam / "data")
+    gt_dir = root / "mav0" / "state_groundtruth_estimate0"
+    os.makedirs(gt_dir)
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    lines = ["#timestamp [ns],filename"]
+    for i in range(F):
+        ts = 1000000000 + i * 50000000
+        fn = f"{ts}.png"
+        Image.fromarray(rng.uniform(0, 255, (48, 75)).astype(np.uint8), "L").save(
+            cam / "data" / fn
+        )
+        lines.append(f"{ts},{fn}")
+    with open(cam / "data.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    gt_lines = ["#timestamp, p_RS_R_x [m], ..."]
+    for i in range(2 * F):
+        ts = 1000000000 + i * 25000000 + 3000
+        gt_lines.append(
+            f"{ts},{0.1*i},{0.2*i},{0.05*i},1.0,0.0,0.0,0.0,0,0,0,0,0,0,0,0,0"
+        )
+    with open(gt_dir / "data.csv", "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+    return str(root)
+
+
+def test_euroc_adapter(tmp_path):
+    root = fake_euroc(tmp_path)
+    seq = euroc.EurocSequence(root=root)
+    assert seq.exists()
+    imgs = seq.image_list()
+    assert len(imgs) == 3
+    ts, poses = seq.load_gt()
+    assert poses.shape[0] == 6
+    np.testing.assert_allclose(poses[2, :3, 3], [0.2, 0.4, 0.1])
+    ts_c, poses_c = seq.load_gt_cam0()
+    assert poses_c.shape == poses.shape
+    frames = list(seq.undistorted_frames())
+    assert len(frames) == 3
+    assert frames[0][1].shape == (48, 75)
+
+
+def test_euroc_associate():
+    ref = np.array([100, 200, 300, 400], np.int64)
+    q = np.array([105, 195, 401, 950], np.int64)
+    idx = euroc.associate(q, ref, tol_ns=10)
+    np.testing.assert_array_equal(idx, [0, 1, 3, -1])
+
+
+def test_quat_to_R():
+    R = euroc.quat_to_R(1.0, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(R, np.eye(3))
+    # 90 deg about z
+    R = euroc.quat_to_R(np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4))
+    np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+
+def test_undistort_roundtrip_zero_dist():
+    """Zero distortion -> identity remap."""
+    mx, my = euroc.undistort_map(euroc.EUROC_CAM0_K, np.zeros(4), (48, 75))
+    yy, xx = np.meshgrid(np.arange(48), np.arange(75), indexing="ij")
+    np.testing.assert_allclose(mx, xx, atol=1e-9)
+    np.testing.assert_allclose(my, yy, atol=1e-9)
+    img = np.random.default_rng(0).uniform(0, 255, (48, 75)).astype(np.float32)
+    out = euroc.remap(img, mx, my)
+    np.testing.assert_allclose(out, img, atol=1e-3)
