@@ -56,26 +56,56 @@ def run_vo_sequence(
     batch: int = 8,
     seed: int = 0,
     collect_cloud: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 64,
+    metrics_path: str | None = None,
 ) -> SequenceResult:
     """Two-view VO over a frame stream (ref `kitti_E.cpp:54-255`).
 
     gt_poses supplies the per-step scale exactly as the reference does
     (`kitti_E.cpp:218-223`); without GT, steps keep unit translation norm.
+    With ``checkpoint_dir``, per-step relative poses snapshot every
+    ``checkpoint_every`` frames and a crashed run resumes at the last
+    snapshot (the frame stream is skipped forward — callers pass the same
+    stream again).
     """
+    from epivo_tpu.utils import checkpoint as ckpt_mod, profiling
+
     step_fn = _batched_vo(config, batch)
     key = jax.random.PRNGKey(seed)
+    mlog = profiling.MetricsLogger(metrics_path)
 
-    frames = iter(frames)
-    try:
-        first = next(frames)
-    except StopIteration:
-        raise ValueError("empty frame stream")
-
-    buf = [np.asarray(first, np.float32)]
+    ckpt = (
+        ckpt_mod.SequenceCheckpointer(checkpoint_dir, every=checkpoint_every)
+        if checkpoint_dir
+        else None
+    )
+    resume_from = 0
     dTs, n_inl, n_trk, reverted = [], [], [], []
     clouds, limits = [], []
     total_pts = 0
     fidx = 0
+    if ckpt is not None:
+        restored = ckpt.restore()
+        if restored is not None:
+            resume_from, state = restored
+            dTs = list(state["dTs"])
+            n_inl = list(state["n_inliers"])
+            n_trk = list(state["n_tracked"])
+            reverted = list(state["reverted"])
+            key = jax.random.PRNGKey(seed + resume_from)
+            fidx = resume_from
+
+    frames = iter(frames)
+    try:
+        first = next(frames)
+        # Skip already-processed frames on resume.
+        for _ in range(resume_from):
+            first = next(frames)
+    except StopIteration:
+        raise ValueError("empty (or shorter-than-checkpoint) frame stream")
+
+    buf = [np.asarray(first, np.float32)]
 
     def flush(buf):
         nonlocal key, fidx, total_pts
@@ -98,6 +128,21 @@ def run_vo_sequence(
                 limits.append(total_pts)
                 total_pts += int(val[b].sum())
         fidx += B
+        mlog.log({
+            "frame": fidx,
+            "n_inliers_mean": float(np.mean(np.asarray(res.n_inliers))),
+            "n_tracked_mean": float(np.mean(np.asarray(res.n_tracked))),
+            "reverted": int(np.sum(np.asarray(res.reverted))),
+            "r_norm_max": float(np.max(np.asarray(res.r_norm))),
+        })
+        if ckpt is not None:
+            ckpt.maybe_save(fidx, {
+                "dTs": np.stack(dTs),
+                "n_inliers": np.asarray(n_inl),
+                "n_tracked": np.asarray(n_trk),
+                "reverted": np.asarray(reverted),
+                "key": np.zeros(2, np.uint32),  # key re-derived on resume
+            })
 
     for f in frames:
         buf.append(np.asarray(f, np.float32))
@@ -136,6 +181,7 @@ def run_vo_sequence(
         ate = metrics.ate_rmse(traj, gt_traj, align=True, with_scale=False)
         rpe_t, _ = metrics.rpe(traj, gt_traj)
 
+    mlog.close()
     return SequenceResult(
         trajectory=traj,
         gt_trajectory=gt_traj,

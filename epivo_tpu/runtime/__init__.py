@@ -1,0 +1,109 @@
+"""Python bindings for the native runtime (ctypes, zero extra deps).
+
+``NativeLoader`` streams decoded float32 grayscale frames from a list of
+PNG paths with background decode threads and a bounded prefetch buffer —
+the sound version of the reference's producer thread + busy-wait consumers
+(`kitti_ba.cpp:1118-1163,207-209`). Falls back to PIL decoding when the
+shared library hasn't been built (``epivo_tpu/runtime/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libepivo_runtime.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.epivo_decode_png.restype = ctypes.c_void_p
+    lib.epivo_decode_png.argtypes = [ctypes.c_char_p]
+    lib.epivo_frame_height.restype = ctypes.c_int
+    lib.epivo_frame_height.argtypes = [ctypes.c_void_p]
+    lib.epivo_frame_width.restype = ctypes.c_int
+    lib.epivo_frame_width.argtypes = [ctypes.c_void_p]
+    lib.epivo_frame_data.restype = ctypes.POINTER(ctypes.c_float)
+    lib.epivo_frame_data.argtypes = [ctypes.c_void_p]
+    lib.epivo_frame_free.argtypes = [ctypes.c_void_p]
+    lib.epivo_loader_open.restype = ctypes.c_void_p
+    lib.epivo_loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.epivo_loader_next.restype = ctypes.c_void_p
+    lib.epivo_loader_next.argtypes = [ctypes.c_void_p]
+    lib.epivo_loader_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+def build() -> None:
+    """Compile the shared library in place (g++, libpng)."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    subprocess.run(["/bin/sh", script], check=True)
+
+
+def decode_png(path: str) -> np.ndarray:
+    """Decode one PNG to float32 grayscale [H, W] via the native decoder."""
+    lib = _load()
+    h = lib.epivo_decode_png(path.encode())
+    if not h:
+        raise IOError(f"native decode failed: {path}")
+    try:
+        H = lib.epivo_frame_height(h)
+        W = lib.epivo_frame_width(h)
+        buf = np.ctypeslib.as_array(lib.epivo_frame_data(h), shape=(H, W))
+        return np.array(buf, dtype=np.float32)  # copy out before free
+    finally:
+        lib.epivo_frame_free(h)
+
+
+class NativeLoader:
+    """Prefetching in-order frame stream over a path list."""
+
+    def __init__(self, paths: Sequence[str], n_workers: int = 2,
+                 capacity: int = 8):
+        self._paths = list(paths)
+        self._n_workers = n_workers
+        self._capacity = capacity
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if not available():
+            from PIL import Image
+
+            for p in self._paths:
+                with Image.open(p) as im:
+                    yield np.asarray(im.convert("L"), dtype=np.float32)
+            return
+        lib = _load()
+        handle = lib.epivo_loader_open(
+            "\n".join(self._paths).encode(), self._n_workers, self._capacity
+        )
+        if not handle:
+            raise IOError("loader_open failed")
+        try:
+            while True:
+                fr = lib.epivo_loader_next(handle)
+                if not fr:
+                    break
+                H = lib.epivo_frame_height(fr)
+                W = lib.epivo_frame_width(fr)
+                if H == 0 or W == 0:
+                    raise IOError("native decode failed mid-stream")
+                buf = np.ctypeslib.as_array(
+                    lib.epivo_frame_data(fr), shape=(H, W)
+                )
+                yield np.array(buf, dtype=np.float32)
+        finally:
+            lib.epivo_loader_close(handle)

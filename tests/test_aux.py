@@ -1,0 +1,105 @@
+"""Tests for auxiliary subsystems: profiling, metrics, checkpoint/resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from epivo_tpu.utils import checkpoint, profiling
+
+
+def test_stage_timer():
+    t = profiling.StageTimer(fence=False)
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["b"]["count"] == 1
+    assert "a" in t.report()
+
+
+def test_timer_fences_device_result():
+    import jax.numpy as jnp
+
+    t = profiling.StageTimer(fence=True)
+    out = t.time_fn("matmul", lambda: jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    assert out.shape == (64, 64)
+    assert t.summary()["matmul"]["count"] == 1
+
+
+def test_metrics_logger(tmp_path):
+    import jax.numpy as jnp
+
+    p = str(tmp_path / "m.jsonl")
+    m = profiling.MetricsLogger(p)
+    m.log({"frame": 1, "x": jnp.asarray(2.5), "arr": np.arange(3)})
+    m.log({"frame": 2, "x": 3.5})
+    m.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0] == {"frame": 1, "x": 2.5, "arr": [0, 1, 2]}
+    assert lines[1]["frame"] == 2
+
+
+def test_metrics_logger_none_path():
+    m = profiling.MetricsLogger(None)
+    m.log({"a": 1})  # no-op, no crash
+    m.close()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    c = checkpoint.SequenceCheckpointer(str(tmp_path), every=10)
+    state = {"dTs": np.random.default_rng(0).normal(size=(12, 4, 4)),
+             "n": np.arange(12)}
+    assert not c.maybe_save(0, state)
+    assert not c.maybe_save(7, state)
+    assert c.maybe_save(12, state)  # crossed bucket 1
+    assert not c.maybe_save(15, state)  # same bucket
+    assert c.maybe_save(23, state)
+    idx, restored = c.restore()
+    assert idx == 23
+    np.testing.assert_allclose(restored["dTs"], state["dTs"])
+    assert c.latest() == 23
+
+
+def test_checkpoint_restore_empty(tmp_path):
+    c = checkpoint.SequenceCheckpointer(str(tmp_path))
+    assert c.restore() is None
+
+
+def test_vo_runner_checkpoint_resume(tmp_path):
+    """Kill-and-resume: a second run restores poses and skips done frames."""
+    from epivo_tpu.pipeline import runners
+    from tests.test_runners_datasets import VO_CFG, make_sequence
+
+    frames, gt = make_sequence(F=6)
+    ck = str(tmp_path / "ck")
+    res1 = runners.run_vo_sequence(frames, VO_CFG, gt_poses=gt, batch=2,
+                                   checkpoint_dir=ck, checkpoint_every=2,
+                                   collect_cloud=False)
+    assert len(os.listdir(ck)) > 1  # snapshots written
+    # Resume: the runner should skip to the last checkpoint and finish with
+    # an equivalent trajectory.
+    res2 = runners.run_vo_sequence(frames, VO_CFG, gt_poses=gt, batch=2,
+                                   checkpoint_dir=ck, checkpoint_every=2,
+                                   collect_cloud=False)
+    assert res2.trajectory.shape == res1.trajectory.shape
+    np.testing.assert_allclose(res2.trajectory[:5], res1.trajectory[:5],
+                               atol=1e-3)
+
+
+def test_vo_runner_metrics_jsonl(tmp_path):
+    from epivo_tpu.pipeline import runners
+    from tests.test_runners_datasets import VO_CFG, make_sequence
+
+    frames, gt = make_sequence(F=4)
+    mp = str(tmp_path / "metrics.jsonl")
+    runners.run_vo_sequence(frames, VO_CFG, gt_poses=gt, batch=3,
+                            metrics_path=mp, collect_cloud=False)
+    recs = [json.loads(l) for l in open(mp)]
+    assert len(recs) >= 1
+    assert "n_inliers_mean" in recs[0]

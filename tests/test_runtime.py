@@ -1,0 +1,92 @@
+"""Tests for the native C++ loader runtime (threaded PNG decode + prefetch)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from epivo_tpu import runtime
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not runtime.available():
+        try:
+            runtime.build()
+        except Exception as e:
+            pytest.skip(f"native build failed: {e}")
+    return True
+
+
+def make_pngs(tmp_path, n=6, H=40, W=56, mode="L"):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i in range(n):
+        arr = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+        img = Image.fromarray(arr, "L")
+        if mode == "RGB":
+            img = img.convert("RGB")
+        p = str(tmp_path / f"f{i:03d}.png")
+        img.save(p)
+        paths.append(p)
+        arrays.append(arr.astype(np.float32))
+    return paths, arrays
+
+
+def test_native_decode_matches_pil(built, tmp_path):
+    paths, arrays = make_pngs(tmp_path, n=2)
+    out = runtime.decode_png(paths[0])
+    np.testing.assert_allclose(out, arrays[0])
+    assert out.dtype == np.float32
+
+
+def test_native_decode_rgb(built, tmp_path):
+    paths, arrays = make_pngs(tmp_path, n=1, mode="RGB")
+    out = runtime.decode_png(paths[0])
+    # RGB of a gray image -> same luma values
+    np.testing.assert_allclose(out, arrays[0], atol=1.0)
+
+
+def test_native_decode_missing_file(built):
+    with pytest.raises(IOError):
+        runtime.decode_png("/nonexistent/nope.png")
+
+
+def test_loader_in_order_stream(built, tmp_path):
+    paths, arrays = make_pngs(tmp_path, n=6)
+    frames = list(runtime.NativeLoader(paths, n_workers=3, capacity=3))
+    assert len(frames) == 6
+    for f, a in zip(frames, arrays):
+        np.testing.assert_allclose(f, a)
+
+
+def test_loader_more_workers_than_frames(built, tmp_path):
+    paths, arrays = make_pngs(tmp_path, n=2)
+    frames = list(runtime.NativeLoader(paths, n_workers=8, capacity=16))
+    assert len(frames) == 2
+
+
+def test_loader_feeds_vo_runner(built, tmp_path):
+    """The native stream plugs directly into the sequence runner API."""
+    paths, _ = make_pngs(tmp_path, n=3, H=64, W=80)
+    from epivo_tpu.geometry import camera
+    from epivo_tpu.pipeline import runners
+    from epivo_tpu.pipeline.config import (
+        FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+
+    cfg = VOConfig(
+        camera=camera.Pinhole(fx=100.0, fy=100.0, cx=40.0, cy=32.0),
+        frontend=FrontendConfig(fast_threshold=30.0, max_keypoints=64,
+                                klt_levels=2),
+        ransac=RansacConfig(n_hyp=64),
+        lm=LMConfig(n_points=16),
+    )
+    res = runners.run_vo_sequence(
+        runtime.NativeLoader(paths), cfg, batch=2, collect_cloud=False
+    )
+    # Random-noise frames: pipeline must complete without crashing.
+    assert res.trajectory.shape == (3, 4, 4)
+    assert np.all(np.isfinite(res.trajectory))
