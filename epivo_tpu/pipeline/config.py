@@ -19,7 +19,9 @@ class FrontendConfig:
     max_keypoints: int = 1024  # fixed budget (replaces dynamic kp vectors)
     klt_window: int = 21  # OpenCV default the reference relies on
     klt_levels: int = 4
-    klt_iters: int = 30
+    # OpenCV's 30 is a max with eps early-exit; fixed-shape TPU iterations
+    # pay full cost, and accuracy is flat beyond ~10 (see BENCH notes).
+    klt_iters: int = 12
     klt_min_eig: float = 1e-4
 
 
@@ -38,7 +40,10 @@ class LMConfig:
     max_iters: int = 30  # ref `jac_Rt_gen_.cpp:323`
     huber_delta: float = 1e-5  # ref `jac_Rt_gen_.cpp:17`
     n_points: int = 48  # ref `kitti_E.cpp:170` (BA windows use 32, :777)
-    revert_r_norm: float = 1e-9  # ref `kitti_E.cpp:198` (BA: 1e-2, :892)
+    # Ref kitti_E uses 1e-9 (`kitti_E.cpp:198`) in f64, where converged
+    # residual norms are ~1e-12; in f32 the converged floor is ~1e-6, so
+    # the equivalent health gate is ~1e-4. BA windows use 1e-2 (:892).
+    revert_r_norm: float = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)

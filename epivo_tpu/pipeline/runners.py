@@ -198,6 +198,135 @@ def run_vo_sequence(
     )
 
 
+def run_stereo_ba_sequence(
+    frames_left: Iterable[np.ndarray],
+    frames_right: Iterable[np.ndarray],
+    config: BAConfig,
+    T_rig: np.ndarray,
+    gt_poses: np.ndarray | None = None,
+    seed: int = 0,
+    freeze_rig: bool = True,
+) -> SequenceResult:
+    """Windowed stereo BA (ref `kitti_ba` stereo path, `kitti_ba.cpp:908-1068`).
+
+    Doubled index space (2i = L_i, 2i+1 = R_i); per temporal step the
+    constraints are L->L' (span rig+cross), R->L' (cross only), and the rig
+    itself. ``T_rig`` is the calibrated L->R transform (from
+    ``KittiSequence.stereo_baseline_T``); with ``freeze_rig`` the rig zetas
+    are held exactly at calibration (metric scale comes from the baseline,
+    no GT scale needed — the reference's motivation for stereo).
+    """
+    L = [np.asarray(f, np.float32) for f in frames_left]
+    R_imgs = [np.asarray(f, np.float32) for f in frames_right]
+    F = min(len(L), len(R_imgs))
+    ws = config.window_size
+    spec, w_pattern = ba_mod.stereo_window_spec(ws, freeze_rig=freeze_rig)
+    stride = config.stride
+    anchors = list(range(0, F - ws + 1, stride))
+    if not anchors:
+        raise ValueError(f"need at least {ws} stereo frames, got {F}")
+
+    vo_cfg = VOConfig(camera=config.camera, frontend=config.frontend,
+                      ransac=config.ransac, lm=config.lm)
+    pair_step = jax.jit(lambda a, b, k: vo.vo_step(a, b, k, vo_cfg))
+    key = jax.random.PRNGKey(seed)
+    N = config.lm.n_points
+
+    def doubled_image(idx: int) -> np.ndarray:
+        return L[idx // 2] if idx % 2 == 0 else R_imgs[idx // 2]
+
+    # Needed doubled-index pairs across all windows (skip w=0 rig
+    # constraints when frozen — their points never contribute).
+    need = set()
+    for a in anchors:
+        base = 2 * a
+        for r, (f0, f1) in enumerate(spec.frame_pairs):
+            if w_pattern[r] == 0.0:
+                continue
+            gi, gj = base + int(f0), base + int(f1)
+            if gj < 2 * F:
+                need.add((gi, gj))
+
+    pair_data = {}
+    for (i, j) in sorted(need):
+        key, sub = jax.random.split(key)
+        res = pair_step(jnp.asarray(doubled_image(i)),
+                        jnp.asarray(doubled_image(j)), sub)
+        sel = np.asarray(res.points_valid)
+        p0 = np.asarray(vo.cam.normalize(res.matches_src, config.camera.K_inv()))
+        p1 = np.asarray(vo.cam.normalize(res.matches_tgt, config.camera.K_inv()))
+        order = np.argsort(~sel)
+        take = order[:N]
+        pair_data[(i, j)] = dict(p=p0[take], p_t=p1[take], mask=sel[take],
+                                 T=np.asarray(res.T))
+
+    W = len(anchors)
+    R_ = spec.reps.shape[0]
+    p = np.zeros((W, R_, N, 3), np.float32)
+    p_t = np.zeros((W, R_, N, 3), np.float32)
+    pmask = np.zeros((W, R_, N), bool)
+    wreps = np.tile(w_pattern, (W, 1)).astype(np.float32)
+    T0s = np.tile(np.eye(4, dtype=np.float32), (W, spec.n_zeta, 1, 1))
+    T_rig = np.asarray(T_rig, np.float32)
+    for w, a in enumerate(anchors):
+        base = 2 * a
+        for r, (f0, f1) in enumerate(spec.frame_pairs):
+            if wreps[w, r] == 0.0:
+                continue
+            gi, gj = base + int(f0), base + int(f1)
+            if (gi, gj) not in pair_data:
+                wreps[w, r] = 0.0
+                continue
+            d = pair_data[(gi, gj)]
+            p[w, r] = d["p"]
+            p_t[w, r] = d["p_t"]
+            pmask[w, r] = d["mask"]
+            if d["mask"].sum() < max(8, N // 4):
+                wreps[w, r] = 0.0
+        for z in range(spec.n_zeta):
+            if z % 2 == 0:
+                T0s[w, z] = T_rig  # rig zeta at calibration
+            else:
+                # Cross zeta R_k -> L_{k+1}: init from the R->L' two-view
+                # estimate (its translation is re-scaled by LM against the
+                # metric baseline; unit-norm init is fine).
+                gi = base + z
+                gj = base + z + 1
+                if (gi, gj) in pair_data:
+                    T0s[w, z] = pair_data[(gi, gj)]["T"]
+
+    out = ba_mod.ba_windows(
+        jnp.asarray(T0s), spec, jnp.asarray(p), jnp.asarray(p_t),
+        wreps=jnp.asarray(wreps), pmask=jnp.asarray(pmask), config=config,
+    )
+    zetas = np.asarray(ba_mod.stitch_windows(out.T_opt))
+    n_steps = min(F - 1, zetas.shape[0] // 2)
+    traj = np.asarray(
+        ba_mod.stereo_left_trajectory(jnp.asarray(zetas[: 2 * n_steps]))
+    )
+
+    ate = rpe_t = None
+    gt_traj = None
+    if gt_poses is not None:
+        gt_traj = gt_poses[: traj.shape[0]]
+        gt_traj = np.linalg.inv(gt_traj[0])[None] @ gt_traj
+        ate = metrics.ate_rmse(traj, gt_traj, align=True, with_scale=False)
+        rpe_t, _ = metrics.rpe(traj, gt_traj)
+
+    return SequenceResult(
+        trajectory=traj,
+        gt_trajectory=gt_traj,
+        ate=ate,
+        rpe_t=rpe_t,
+        cloud=np.zeros((0, 3)),
+        cloud_limits=np.zeros(0, np.int64),
+        per_frame={
+            "window_r_norm": np.asarray(out.r_norm),
+            "window_reverted": np.asarray(out.reverted),
+        },
+    )
+
+
 def run_ba_sequence(
     frames: Iterable[np.ndarray],
     config: BAConfig,

@@ -87,7 +87,11 @@ def ransac_essential(
     idx = _sample_indices(key, n_hyp, N, mask)  # [n_hyp, 8]
     p_s = p[idx]  # [n_hyp, 8, 3]
     p_ts = p_t[idx]
-    Es = essential.eight_point(p_s, p_ts)  # [n_hyp, 3, 3]
+    # Hypotheses ARE projected to the essential manifold: besides matching
+    # OpenCV semantics, the projection regularizes near-degenerate minimal
+    # samples (forward motion / low parallax leave AtA with a ~3D near-null
+    # space, and the raw null vector is then unstable).
+    Es = essential.eight_point(p_s, p_ts, project=True)  # [n_hyp, 3, 3]
 
     err = essential.sampson_error(Es, p[None], p_t[None])  # [n_hyp, N]
     err = jnp.where(valid[None, :], err, jnp.inf)
@@ -114,12 +118,18 @@ def ransac_essential(
     E_best = Es[best]
     inliers = (essential.sampson_error(E_best, p, p_t) < thr) & valid
     if refit:
+        # Guarded refit (LO-RANSAC style): near-degenerate geometries
+        # (forward motion / low parallax) make the all-inlier least-squares
+        # E unstable — keep the refit only if it has >= 8 support points
+        # AND does not lose inliers versus the winning hypothesis.
         w = inliers.astype(p.dtype)
-        # Guard: if fewer than 8 inliers, fall back to the raw hypothesis.
-        enough = jnp.sum(inliers) >= MIN_SAMPLE
         E_refit = essential.eight_point(p, p_t, weights=w)
-        E_final = jnp.where(enough, E_refit, E_best)
-        inliers = (essential.sampson_error(E_final, p, p_t) < thr) & valid
+        inl_refit = (essential.sampson_error(E_refit, p, p_t) < thr) & valid
+        use_refit = (jnp.sum(inliers) >= MIN_SAMPLE) & (
+            jnp.sum(inl_refit) >= jnp.sum(inliers)
+        )
+        E_final = jnp.where(use_refit, E_refit, E_best)
+        inliers = jnp.where(use_refit, inl_refit, inliers)
     else:
         E_final = E_best
 

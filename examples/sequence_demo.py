@@ -58,7 +58,7 @@ def main():
         frontend=FrontendConfig(fast_threshold=15.0, max_keypoints=128,
                                 klt_levels=3),
         ransac=RansacConfig(n_hyp=256),
-        lm=LMConfig(n_points=32, revert_r_norm=1e-6),
+        lm=LMConfig(n_points=32, revert_r_norm=1e-4),
     )
 
     key = jax.random.PRNGKey(0)

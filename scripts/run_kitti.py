@@ -1,0 +1,131 @@
+"""Run the VO / BA pipelines on a KITTI odometry sequence.
+
+The production equivalent of the reference's kitti_E / kitti_ba drivers
+(`kitti_E.cpp:37-302`, `kitti_ba.cpp:1071-1235`): dataset in, trajectory +
+cloud artifacts + ATE out.
+
+Usage:
+  python scripts/run_kitti.py --root /path/to/kitti_odometry --seq 00 \
+      --mode vo --frames 900 --out out/kitti00
+  python scripts/run_kitti.py --root ... --seq 01 --mode ba
+  python scripts/run_kitti.py --root ... --seq 01 --mode stereo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="KITTI odometry root")
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--mode", choices=["vo", "ba", "stereo"], default="vo")
+    ap.add_argument("--frames", type=int, default=None, help="limit frames")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default=None, help="artifact directory")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--fast-threshold", type=float, default=40.0)
+    ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--n-hyp", type=int, default=512)
+    ap.add_argument("--checkpoint-every", type=int, default=256)
+    ap.add_argument("--metrics", action="store_true")
+    args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from epivo_tpu import runtime
+    from epivo_tpu.datasets import kitti
+    from epivo_tpu.pipeline import runners
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+    from epivo_tpu.viz import export
+
+    seq = kitti.KittiSequence(root=args.root, seq=args.seq)
+    if not seq.exists():
+        print(f"ERROR: sequence not found at {seq.image_dir}", file=sys.stderr)
+        sys.exit(2)
+
+    n = seq.n_frames()
+    stop = min(n, args.start + args.frames) if args.frames else n
+    cam = seq.intrinsics()
+    try:
+        gt = seq.load_poses()[args.start : stop]
+    except OSError:
+        gt = None
+        print("no GT poses found; monocular scale will be unit-norm")
+
+    fe = FrontendConfig(fast_threshold=args.fast_threshold,
+                        max_keypoints=args.max_keypoints)
+    rc = RansacConfig(n_hyp=args.n_hyp, method="lmeds" if args.mode == "vo"
+                      else "ransac")
+
+    out_dir = args.out or f"out/kitti{args.seq}_{args.mode}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    paths = [seq.image_path(i) for i in range(args.start, stop)]
+    frames = runtime.NativeLoader(paths, n_workers=3, capacity=args.batch + 2)
+
+    if args.mode == "vo":
+        cfg = VOConfig(camera=cam, frontend=fe, ransac=rc,
+                       lm=LMConfig(n_points=48, revert_r_norm=1e-4))
+        res = runners.run_vo_sequence(
+            frames, cfg, gt_poses=gt, batch=args.batch,
+            checkpoint_dir=os.path.join(out_dir, "ckpt"),
+            checkpoint_every=args.checkpoint_every,
+            metrics_path=os.path.join(out_dir, "metrics.jsonl")
+            if args.metrics else None,
+        )
+    elif args.mode == "ba":
+        cfg = BAConfig(camera=cam, frontend=fe, ransac=rc,
+                       lm=LMConfig(n_points=32, revert_r_norm=1e-2))
+        res = runners.run_ba_sequence(list(frames), cfg, gt_poses=gt)
+    else:  # stereo
+        cfg = BAConfig(camera=cam, frontend=fe, ransac=rc,
+                       lm=LMConfig(n_points=32, revert_r_norm=1e-2))
+        seq_r = kitti.KittiSequence(root=args.root, seq=args.seq, cam="image_1")
+        paths_r = [seq_r.image_path(i) for i in range(args.start, stop)]
+        res = runners.run_stereo_ba_sequence(
+            frames, runtime.NativeLoader(paths_r), cfg,
+            T_rig=seq.stereo_baseline_T(), gt_poses=gt,
+        )
+
+    export.write_poses(os.path.join(out_dir, "kitti.T"), res.trajectory)
+    export.write_kitti_format(os.path.join(out_dir, "est_kitti_format.txt"),
+                              res.trajectory)
+    if res.gt_trajectory is not None:
+        export.write_poses(os.path.join(out_dir, "kitti.GT"), res.gt_trajectory)
+    if res.cloud.shape[0]:
+        export.write_cloud(os.path.join(out_dir, "pts.cld"), res.cloud,
+                           lims_path=os.path.join(out_dir, "lims"),
+                           limits=res.cloud_limits)
+    export.plot_trajectories(
+        os.path.join(out_dir, "traj.png"),
+        {k: v for k, v in [("est", res.trajectory),
+                           ("gt", res.gt_trajectory)] if v is not None},
+        cloud=res.cloud if res.cloud.shape[0] else None,
+    )
+    summary = {
+        "mode": args.mode, "seq": args.seq,
+        "frames": int(stop - args.start),
+        "ate_m": res.ate, "rpe_t": res.rpe_t,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

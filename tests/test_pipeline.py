@@ -28,7 +28,7 @@ SMALL_CFG = VOConfig(
     camera=camera.Pinhole(fx=200.0, fy=200.0, cx=80.0, cy=60.0, width=160, height=120),
     frontend=FrontendConfig(fast_threshold=15.0, max_keypoints=128, klt_levels=3),
     ransac=RansacConfig(n_hyp=256),
-    lm=LMConfig(n_points=32, revert_r_norm=1e-6),
+    lm=LMConfig(n_points=32, revert_r_norm=1e-4),
 )
 
 

@@ -21,7 +21,7 @@ VO_CFG = VOConfig(
     camera=CAM,
     frontend=FrontendConfig(fast_threshold=15.0, max_keypoints=128, klt_levels=3),
     ransac=RansacConfig(n_hyp=256),
-    lm=LMConfig(n_points=32, revert_r_norm=1e-6),
+    lm=LMConfig(n_points=32, revert_r_norm=1e-4),
 )
 
 
