@@ -206,9 +206,13 @@ def solve(
         H = J_flat.T @ J_flat
         diag = jnp.diagonal(H)
         H_damped = H + lam * jnp.diag(diag)
-        # Tiny Tikhonov floor keeps the solve well-posed when a zeta has no
-        # constraints (the reference would produce inf/NaN and bail).
-        H_damped = H_damped + 1e-12 * jnp.eye(Z * 6, dtype=dtype)
+        # Tikhonov floor keeps the solve well-posed when a zeta has no
+        # constraints (the reference would produce inf/NaN and bail). The
+        # floor must be RELATIVE to H's scale: with the reference's
+        # huber_delta=1e-5 the residuals (and hence H) can sit at ~1e-10,
+        # where any absolute floor would drown the actual curvature.
+        h_scale = jnp.mean(diag) + 1e-30
+        H_damped = H_damped + (1e-7 * h_scale) * jnp.eye(Z * 6, dtype=dtype)
         delta = -jnp.linalg.solve(H_damped, b)
 
         nan_step = jnp.any(~jnp.isfinite(delta))

@@ -241,8 +241,8 @@ def run_stereo_ba_sequence(
     for a in anchors:
         base = 2 * a
         for r, (f0, f1) in enumerate(spec.frame_pairs):
-            if w_pattern[r] == 0.0:
-                continue
+            # Rig pairs (w=0) are extracted too: they never enter LM but
+            # provide the metric depths for the scale init below.
             gi, gj = base + int(f0), base + int(f1)
             if gj < 2 * F:
                 need.add((gi, gj))
@@ -258,7 +258,51 @@ def run_stereo_ba_sequence(
         order = np.argsort(~sel)
         take = order[:N]
         pair_data[(i, j)] = dict(p=p0[take], p_t=p1[take], mask=sel[take],
-                                 T=np.asarray(res.T))
+                                 T=np.asarray(res.T),
+                                 p_full=p0, p_t_full=p1, mask_full=sel)
+
+    # --- metric scale init from the calibrated baseline -------------------
+    # Mono two-view poses are unit-norm; the rig provides absolute scale:
+    # triangulate L_k keypoints against R_k with the CALIBRATED rig (metric
+    # depths), against L_{k+1} with the unit-norm L->L' pose (mono depths),
+    # and set |t_LL'| = median(d_metric / d_mono). FAST detection on L_k is
+    # deterministic, so both pairs share the same keypoint array. The f64
+    # reference instead lets LM pull scale through the frozen-baseline
+    # constraint (`kitti_ba.cpp:567-574`); in f32 the huber-crushed energy
+    # is too flat for that, so we hand LM a metric-scale basin to refine.
+    from epivo_tpu.geometry import epipolar as _epi, se3 as _se3
+
+    T_rig_j = jnp.asarray(np.asarray(T_rig, np.float32))
+    R_rig = T_rig_j[:3, :3]
+    t_rig = T_rig_j[:3, 3]
+
+    def metric_scale(k: int) -> float:
+        rig = pair_data.get((2 * k, 2 * k + 1))
+        tem = pair_data.get((2 * k, 2 * k + 2))
+        if rig is None or tem is None:
+            return 1.0
+        d_met, v_met = _epi.epipolar_depth(
+            R_rig, t_rig, jnp.asarray(rig["p_full"]), jnp.asarray(rig["p_t_full"])
+        )
+        T_LL = jnp.asarray(tem["T"])
+        d_mono, v_mono = _epi.epipolar_depth(
+            T_LL[:3, :3], T_LL[:3, 3],
+            jnp.asarray(tem["p_full"]), jnp.asarray(tem["p_t_full"]),
+        )
+        # Depth-sanity gating only: the strict per-pair inlier/triangulation
+        # masks leave too few common points under forward motion, and the
+        # median is robust to the outliers this lets through.
+        d_met_n = np.asarray(d_met)
+        d_mono_n = np.asarray(d_mono)
+        both = (
+            np.asarray(v_met) & np.asarray(v_mono)
+            & (d_met_n > 0.1) & (d_met_n < 1e4)
+            & (d_mono_n > 1e-3) & (d_mono_n < 1e4)
+        )
+        if both.sum() < 4:
+            return 1.0
+        ratio = d_met_n[both] / d_mono_n[both]
+        return float(np.median(ratio))
 
     W = len(anchors)
     R_ = spec.reps.shape[0]
@@ -285,15 +329,21 @@ def run_stereo_ba_sequence(
                 wreps[w, r] = 0.0
         for z in range(spec.n_zeta):
             if z % 2 == 0:
-                T0s[w, z] = T_rig  # rig zeta at calibration
+                T0s[w, z] = np.asarray(T_rig, np.float32)  # rig at calibration
             else:
-                # Cross zeta R_k -> L_{k+1}: init from the R->L' two-view
-                # estimate (its translation is re-scaled by LM against the
-                # metric baseline; unit-norm init is fine).
-                gi = base + z
-                gj = base + z + 1
-                if (gi, gj) in pair_data:
-                    T0s[w, z] = pair_data[(gi, gj)]["T"]
+                # Cross zeta R_k -> L_{k+1} = (scaled L->L') o rig^-1, with
+                # the L->L' translation set to the rig-derived metric scale.
+                k_step = a + z // 2
+                tem = pair_data.get((2 * k_step, 2 * k_step + 2))
+                if tem is not None:
+                    s = metric_scale(k_step)
+                    T_LL = tem["T"].copy()
+                    tn = np.linalg.norm(T_LL[:3, 3]) + 1e-12
+                    T_LL[:3, 3] *= s / tn
+                    T0s[w, z] = (T_LL @ np.linalg.inv(np.asarray(T_rig))
+                                 ).astype(np.float32)
+                elif (base + z, base + z + 1) in pair_data:
+                    T0s[w, z] = pair_data[(base + z, base + z + 1)]["T"]
 
     out = ba_mod.ba_windows(
         jnp.asarray(T0s), spec, jnp.asarray(p), jnp.asarray(p_t),
