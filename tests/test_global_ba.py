@@ -1,0 +1,115 @@
+"""Tests for global (full-trajectory) distributed bundle adjustment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epivo_tpu.datasets import synthetic
+from epivo_tpu.parallel import global_ba, mesh as mesh_mod
+
+
+def chain_scene(key, n_zeta=12, N=16, span=2):
+    """Long chain with consecutive + skip constraints."""
+    reps = [(i, i) for i in range(n_zeta)]
+    reps += [(i, min(i + span - 1, n_zeta - 1)) for i in range(n_zeta - 1)]
+    scene = synthetic.gen_scene_sequence(
+        key, N=N, n_zeta=n_zeta, reps=reps, rot_noise=0.03, t_noise=0.06
+    )
+    return scene
+
+
+def rot_errs(Ts, T0s):
+    return np.linalg.norm(
+        np.asarray(Ts[:, :3, :3]) - np.asarray(T0s[:, :3, :3]), axis=(1, 2)
+    )
+
+
+def test_global_ba_recovery_single_device():
+    scene = chain_scene(jax.random.PRNGKey(0))
+    res = global_ba.global_ba_solve(
+        scene.T0s, scene.reps, scene.p, scene.p_t, max_span=2,
+        max_iters=25, cg_iters=40, huber_delta=1.0,
+    )
+    init = rot_errs(scene.T0s, scene.Ts)
+    fin = rot_errs(res.T0s, scene.Ts)
+    assert np.median(fin) < 0.1 * np.median(init), (init, fin)
+    assert int(res.n_accepted) > 3
+
+
+def test_global_ba_long_span():
+    scene = chain_scene(jax.random.PRNGKey(1), n_zeta=8, span=3)
+    res = global_ba.global_ba_solve(
+        scene.T0s, scene.reps, scene.p, scene.p_t, max_span=3,
+        max_iters=25, cg_iters=40, huber_delta=1.0,
+    )
+    init = rot_errs(scene.T0s, scene.Ts)
+    fin = rot_errs(res.T0s, scene.Ts)
+    assert np.median(fin) < 0.15 * np.median(init)
+
+
+def test_global_ba_span_guard():
+    scene = chain_scene(jax.random.PRNGKey(2), n_zeta=6, span=3)
+    with pytest.raises(AssertionError):
+        global_ba.global_ba_solve(
+            scene.T0s, scene.reps, scene.p, scene.p_t, max_span=2
+        )
+
+
+def test_global_ba_distributed_matches_single():
+    """Constraint-sharded 8-device solve == single-device solve."""
+    scene = chain_scene(jax.random.PRNGKey(3), n_zeta=9, N=16, span=2)
+    # 9 + 8 = 17 constraints -> pad to 24 (divisible by 8) with w=0.
+    R0 = scene.reps.shape[0]
+    R_pad = 24
+    reps = np.concatenate([scene.reps, np.zeros((R_pad - R0, 2), np.int32)])
+    p = jnp.concatenate([scene.p, jnp.ones((R_pad - R0,) + scene.p.shape[1:])])
+    p_t = jnp.concatenate(
+        [scene.p_t, jnp.ones((R_pad - R0,) + scene.p_t.shape[1:])]
+    )
+    w = jnp.concatenate([jnp.ones(R0), jnp.zeros(R_pad - R0)])
+
+    res1 = global_ba.global_ba_solve(
+        scene.T0s, reps, p, p_t, wreps=w, max_span=2,
+        max_iters=15, cg_iters=32, huber_delta=1.0,
+    )
+    m = mesh_mod.make_mesh(n_win=8, n_hyp=1)
+    res8 = global_ba.global_ba_solve(
+        scene.T0s, reps, p, p_t, wreps=w, max_span=2,
+        max_iters=15, cg_iters=32, huber_delta=1.0, mesh=m,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.T0s), np.asarray(res1.T0s), atol=5e-3
+    )
+    # Both runs converge to the f32 residual floor; compare with an
+    # absolute floor so ~1e-10 vs ~7e-11 doesn't fail a relative check.
+    assert abs(float(res8.r_norm) - float(res1.r_norm)) < max(
+        1e-6, 0.05 * float(res1.r_norm)
+    )
+
+
+def test_global_ba_beats_windowed_consistency():
+    """Joint refinement should not be worse than the initialization on a
+    long chain (sanity: the global objective decreases)."""
+    scene = chain_scene(jax.random.PRNGKey(4), n_zeta=16, N=12, span=2)
+    res = global_ba.global_ba_solve(
+        scene.T0s, scene.reps, scene.p, scene.p_t, max_span=2,
+        max_iters=20, cg_iters=32, huber_delta=1.0,
+    )
+    # Energy at the result must be below energy at init.
+    from epivo_tpu.geometry import epipolar, se3
+
+    def energy(Ts):
+        T0_mem = se3.prefix_products(jnp.asarray(Ts))
+        z0 = scene.reps[:, 0]
+        z1 = scene.reps[:, 1]
+        lo = np.minimum(z0, z1)
+        hi = np.maximum(z0, z1)
+        T = np.asarray(T0_mem)[lo, hi]
+        rev = z0 > z1
+        for i in np.flatnonzero(rev):
+            T[i] = np.asarray(se3.inverse(jnp.asarray(T[i])))
+        r = epipolar.residual_from_T(jnp.asarray(T), scene.p, scene.p_t, 1.0)
+        return float(jnp.sum(r**2))
+
+    assert energy(res.T0s) < 0.2 * energy(scene.T0s)
