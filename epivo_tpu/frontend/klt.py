@@ -113,6 +113,47 @@ def _grad_batch(wins: jnp.ndarray):
     return sep(d, s), sep(s, d)
 
 
+def _sample_lanes(wins_T: jnp.ndarray, q: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Lane-major bilinear patch sampling via static-slice select-sums.
+
+    wins_T: [S, S, K] windows with the keypoint axis in TPU lanes.
+    q: [K, 2] continuous top-left corners (clamped to [0, S - win - 1)).
+    Returns [win, win, K].
+
+    The per-keypoint integer offset is handled by summing the (S - win)
+    statically shifted views of the window stack, each masked to the lanes
+    whose offset selects it — pure VPU select/add on fully-utilized
+    (sublane, lane) tiles, no gathers, no per-lane matmuls. The fractional
+    part is the usual 4-tap blend of statically shifted views.
+    """
+    S = wins_T.shape[0]
+    n_off = S - win  # integer offsets 0 .. S-win-1
+    hi = n_off - 1e-3
+    qx = jnp.clip(q[:, 0], 0.0, hi)
+    qy = jnp.clip(q[:, 1], 0.0, hi)
+    ix = jnp.floor(qx).astype(jnp.int32)
+    iy = jnp.floor(qy).astype(jnp.int32)
+    fx = (qx - jnp.floor(qx))[None, None, :]
+    fy = (qy - jnp.floor(qy))[None, None, :]
+
+    acc_y = jnp.zeros((win + 1, S, wins_T.shape[2]), wins_T.dtype)
+    for s in range(n_off):
+        acc_y = acc_y + jnp.where(
+            (iy == s)[None, None, :], wins_T[s : s + win + 1, :, :], 0.0
+        )
+    acc = jnp.zeros((win + 1, win + 1, wins_T.shape[2]), wins_T.dtype)
+    for s in range(n_off):
+        acc = acc + jnp.where(
+            (ix == s)[None, None, :], acc_y[:, s : s + win + 1, :], 0.0
+        )
+    return (
+        acc[:win, :win] * (1 - fx) * (1 - fy)
+        + acc[:win, 1:] * fx * (1 - fy)
+        + acc[1:, :win] * (1 - fx) * fy
+        + acc[1:, 1:] * fx * fy
+    )
+
+
 def _track_level(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -140,20 +181,16 @@ def _track_level(
     q_s = jnp.clip(pt_src - o_s - (win - 1) / 2.0, 0.0, hi)
     # Effective template centers (clamp-aware; see module docstring).
     c_eff = o_s + q_s + (win - 1) / 2.0
-    Sy, Sx = _selection_matrices(q_s, S, win)
 
-    def sample_with(mats, wins):
-        sy, sx = mats
-        tmp = jnp.einsum("kis,kst->kit", sy, wins)
-        return jnp.einsum("kit,kjt->kij", tmp, sx)
+    # Lane-major layout: keypoints in the last (lane) dimension.
+    to_lanes = lambda w: jnp.transpose(w, (1, 2, 0))
+    T = _sample_lanes(to_lanes(src_wins), q_s, win)
+    Ix = _sample_lanes(to_lanes(gx), q_s, win)
+    Iy = _sample_lanes(to_lanes(gy), q_s, win)
 
-    T = sample_with((Sy, Sx), src_wins)
-    Ix = sample_with((Sy, Sx), gx)
-    Iy = sample_with((Sy, Sx), gy)
-
-    Gxx = jnp.sum(Ix * Ix, axis=(-2, -1))
-    Gxy = jnp.sum(Ix * Iy, axis=(-2, -1))
-    Gyy = jnp.sum(Iy * Iy, axis=(-2, -1))
+    Gxx = jnp.sum(Ix * Ix, axis=(0, 1))
+    Gxy = jnp.sum(Ix * Iy, axis=(0, 1))
+    Gyy = jnp.sum(Iy * Iy, axis=(0, 1))
     det = Gxx * Gyy - Gxy * Gxy
     trace = Gxx + Gyy
     min_ev = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))) / 2.0
@@ -165,17 +202,18 @@ def _track_level(
     g = guess + (c_eff - pt_src)  # track the effective template center
 
     q_last = None
-    tgt_wins = o_t = None
+    tgt_lanes = o_t = None
     for _ in range(n_chunks):
         tgt_wins, o_t = _extract_windows(tgt, g, S)
+        tgt_lanes = to_lanes(tgt_wins)
         q0 = jnp.clip(g - o_t - (win - 1) / 2.0, 0.0, hi)
 
         def body(carry, _):
             q, done = carry
-            P = _sample_batch(tgt_wins, q, win)
+            P = _sample_lanes(tgt_lanes, q, win)
             dI = P - T
-            bx = jnp.sum(dI * Ix, axis=(-2, -1))
-            by = jnp.sum(dI * Iy, axis=(-2, -1))
+            bx = jnp.sum(dI * Ix, axis=(0, 1))
+            by = jnp.sum(dI * Iy, axis=(0, 1))
             dx = -(Gyy * bx - Gxy * by) * inv_det
             dy = -(-Gxy * bx + Gxx * by) * inv_det
             step = jnp.stack([dx, dy], axis=-1)  # [K, 2]
@@ -193,8 +231,8 @@ def _track_level(
 
     # Final error from the last chunk's window (saves a re-extraction; the
     # final iterate rarely exceeds the margin within a chunk).
-    P_fin = _sample_batch(tgt_wins, q_last, win)
-    err = jnp.mean(jnp.abs(P_fin - T), axis=(-2, -1))
+    P_fin = _sample_lanes(tgt_lanes, q_last, win)
+    err = jnp.mean(jnp.abs(P_fin - T), axis=(0, 1))
     # Position of pt_src's content = pt_src + measured template flow.
     return pt_src + (g - c_eff), ok, err
 
