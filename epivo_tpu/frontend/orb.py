@@ -98,6 +98,73 @@ def orientation(windows: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def detect_and_describe_pyramid(
+    img: jnp.ndarray,
+    threshold: float = 40.0,
+    max_keypoints: int = 1024,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+):
+    """Multi-scale ORB: FAST on a scale pyramid + oriented BRIEF.
+
+    Matches the reference ORB configuration (10000 features, scale 1.2,
+    8 levels, `kitti_ba.cpp:128`) with a fixed total budget: each level
+    gets a budget proportional to its area; detections are mapped back to
+    level-0 pixel coordinates. Returns (Keypoints, Descriptors) with
+    keypoint scale stored in Keypoints.score sign... no — scale is returned
+    separately as [K] level indices.
+    """
+    from epivo_tpu.frontend import fast as fast_mod, image as imops
+
+    H, W = img.shape
+    # Per-level budgets proportional to area (geometric series).
+    areas = [scale_factor ** (-2 * l) for l in range(n_levels)]
+    total = sum(areas)
+    budgets = [max(8, int(round(max_keypoints * a / total))) for a in areas]
+    # Adjust to exactly max_keypoints.
+    budgets[0] += max_keypoints - sum(budgets)
+
+    xs, scores, valids, levels, sign_list = [], [], [], [], []
+    cur = img
+    cur_scale = 1.0
+    for l in range(n_levels):
+        if min(cur.shape) < 2 * PATCH:
+            budgets[l] = 0
+        if budgets[l] > 0:
+            kp = fast_mod.detect(cur, threshold, budgets[l])
+            d = describe(cur, kp.xy, kp.valid)
+            xs.append(kp.xy * cur_scale)
+            scores.append(kp.score)
+            valids.append(kp.valid & d.valid)
+            levels.append(jnp.full(kp.xy.shape[0], l, jnp.int32))
+            sign_list.append(d.signs)
+        if l < n_levels - 1:
+            # 1.2x downscale via blur + bilinear resize (area-preserving).
+            nh = max(int(round(cur.shape[0] / scale_factor)), 1)
+            nw = max(int(round(cur.shape[1] / scale_factor)), 1)
+            cur = jax.image.resize(imops._sep_conv3(
+                cur,
+                jnp.array([0.25, 0.5, 0.25], cur.dtype),
+                jnp.array([0.25, 0.5, 0.25], cur.dtype),
+            ), (nh, nw), method="linear")
+            cur_scale *= scale_factor
+
+    from epivo_tpu.frontend.fast import Keypoints
+
+    kps = Keypoints(
+        xy=jnp.concatenate(xs),
+        score=jnp.concatenate(scores),
+        valid=jnp.concatenate(valids),
+    )
+    descs = Descriptors(
+        signs=jnp.concatenate(sign_list),
+        packed=jnp.zeros((kps.xy.shape[0], 8), jnp.uint32),
+        angle=jnp.zeros(kps.xy.shape[0]),
+        valid=kps.valid,
+    )
+    return kps, descs, jnp.concatenate(levels)
+
+
 def describe(img: jnp.ndarray, xy: jnp.ndarray,
              valid: jnp.ndarray | None = None) -> Descriptors:
     """Compute oriented BRIEF descriptors at keypoints xy [K, 2]."""

@@ -197,6 +197,78 @@ def recover_pose(E: jnp.ndarray, p: jnp.ndarray, p_t: jnp.ndarray,
     return R, t, front_best
 
 
+def refine_essential(
+    E: jnp.ndarray,
+    p: jnp.ndarray,
+    p_t: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    iters: int = 8,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """Gauss-Newton refinement of E on its 5-DoF manifold (Sampson cost).
+
+    The accuracy counterpart of OpenCV's 5-point solver without the
+    nonsymmetric eigenproblem TPUs lack: parametrize E = [t]_x R by a
+    rotation increment (3 DoF) and a translation-direction increment in the
+    tangent plane of the unit sphere (2 DoF), and iterate damped GN on the
+    Sampson residuals. Fixed iteration count, jit/vmap-safe.
+    """
+    from epivo_tpu.geometry import se3 as _se3
+
+    m = mask if mask is not None else jnp.ones(p.shape[:-1], bool)
+    mf = m.astype(E.dtype)
+
+    # Initial (R, t) from E via cheirality vote.
+    R0, t0, _ = recover_pose(E, p, p_t, mask=m)
+
+    def sampson_vec(R, t):
+        Ecur = _se3.hat(t) @ R
+        # Signed first-order residual (not squared) for GN.
+        Ep = jnp.einsum("ij,nj->ni", Ecur, p)
+        Etp = jnp.einsum("ji,nj->ni", Ecur, p_t)
+        num = jnp.einsum("ni,ni->n", p_t, Ep)
+        den = jnp.sqrt(
+            Ep[..., 0] ** 2 + Ep[..., 1] ** 2
+            + Etp[..., 0] ** 2 + Etp[..., 1] ** 2 + _EPS
+        )
+        return (num / den) * mf
+
+    def basis(t):
+        # Two unit vectors spanning the tangent plane at t on S^2.
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0], t.dtype),
+                      jnp.array([0.0, 1.0, 0.0], t.dtype))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / (jnp.linalg.norm(b1) + _EPS)
+        b2 = jnp.cross(t, b1)
+        return b1, b2
+
+    def step(carry, _):
+        R, t = carry
+
+        def res_of(delta):
+            dR = _se3.so3_exp(delta[:3])
+            b1, b2 = basis(t)
+            dt = _se3.so3_exp(b1 * delta[3] + b2 * delta[4])
+            return sampson_vec(R @ dR, dt @ t)
+
+        r0 = res_of(jnp.zeros(5, E.dtype))
+        J = jax.jacfwd(res_of)(jnp.zeros(5, E.dtype))  # [N, 5]
+        H = J.T @ J + damping * jnp.eye(5, dtype=E.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r0)
+        r1 = res_of(delta)
+        accept = jnp.sum(r1 * r1) < jnp.sum(r0 * r0)
+        delta = jnp.where(accept, delta, jnp.zeros_like(delta))
+        dR = _se3.so3_exp(delta[:3])
+        b1, b2 = basis(t)
+        dt = _se3.so3_exp(b1 * delta[3] + b2 * delta[4])
+        return (R @ dR, dt @ t), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    E_new = _se3.hat(t) @ R
+    return E_new / (jnp.linalg.norm(E_new) + _EPS)
+
+
 def pose_fallback(R: jnp.ndarray, t: jnp.ndarray,
                   fallback_t=(0.1, 0.1, -0.9),
                   trace_min: float = 2.7,

@@ -109,6 +109,79 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
     )
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
+                config: VOConfig) -> VOStepResult:
+    """Two-view VO with ORB descriptor matching instead of KLT tracking.
+
+    The reference's `really_robust_ass` path (`kitti_ba.cpp:584-754`):
+    ORB detect+describe in both frames, brute-force Hamming with
+    cross-check, >= 8-match gate with identity fallback, then the same
+    robust-E + recoverPose + LM refinement as :func:`vo_step`. Descriptor
+    matching survives larger motions than KLT at the cost of subpixel
+    accuracy.
+    """
+    from epivo_tpu.frontend import match as match_mod, orb
+
+    fc, rc, lc = config.frontend, config.ransac, config.lm
+    K_inv = config.camera.K_inv(img0.dtype)
+
+    kp0 = fast.detect(img0, fc.fast_threshold, fc.max_keypoints)
+    kp1 = fast.detect(img1, fc.fast_threshold, fc.max_keypoints)
+    d0 = orb.describe(img0, kp0.xy, kp0.valid)
+    d1 = orb.describe(img1, kp1.xy, kp1.valid)
+    m = match_mod.match(d0.signs, d1.signs, valid1=kp0.valid,
+                        valid2=kp1.valid, max_dist=64.0)
+    # Matched target coordinates per source keypoint (invalid lanes get a
+    # harmless in-bounds index and are masked).
+    tgt_xy = kp1.xy[jnp.maximum(m.idx, 0)]
+    status = m.valid
+    n_matches = jnp.sum(status).astype(jnp.int32)
+
+    p0 = cam.normalize(kp0.xy, K_inv)
+    p1 = cam.normalize(tgt_xy, K_inv)
+
+    thr = (rc.threshold_px / config.camera.fx) ** 2
+    rres = ransac_mod.ransac_essential(
+        key, p0, p1, n_hyp=rc.n_hyp, threshold=thr, mask=status,
+        method=rc.method,
+    )
+    R_e, t_e, front = essential.recover_pose(rres.E, p0, p1, mask=rres.inliers)
+    R_e, t_e = essential.pose_fallback(R_e, t_e)
+    # >= 8 matches gate -> identity fallback (ref `kitti_ba.cpp:701,741-744`).
+    too_few = n_matches < 8
+    R_e = jnp.where(too_few, jnp.eye(3, dtype=R_e.dtype), R_e)
+    t_e = jnp.where(too_few, jnp.asarray([0.1, 0.1, -0.9], t_e.dtype), t_e)
+    T_e = se3.rt_to_matrix(R_e, t_e)
+
+    sel = rres.inliers & front & status
+    idx, sel_valid = _select_top(sel, lc.n_points)
+    out = lm.solve(
+        T_e[None], jnp.zeros((1, 2), jnp.int32), p0[idx][None], p1[idx][None],
+        pmask=sel_valid[None], lambda0=lc.lambda0, epsilon=lc.epsilon,
+        max_iters=lc.max_iters, huber_delta=lc.huber_delta,
+    )
+    enough = jnp.sum(sel_valid) >= lc.n_points
+    revert = (out.r_norm > lc.revert_r_norm) | ~enough | too_few
+    T = jnp.where(revert, T_e, out.T0s[0])
+
+    R, t = se3.matrix_to_rt(T)
+    pts, pts_valid = epipolar.triangulate(R, t, p0, p1)
+    pts_valid = pts_valid & status & rres.inliers
+
+    return VOStepResult(
+        T=T,
+        n_tracked=n_matches,
+        n_inliers=rres.n_inliers,
+        r_norm=out.r_norm,
+        reverted=revert,
+        points=pts,
+        points_valid=pts_valid,
+        matches_src=kp0.xy,
+        matches_tgt=tgt_xy,
+    )
+
+
 def apply_scale(T: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """Keep rotation + translation *direction*, set translation magnitude
     (the reference's per-frame GT-scale injection, `kitti_E.cpp:218-223`)."""

@@ -152,3 +152,43 @@ def test_ransac_jit():
 def test_n_iterations():
     assert ransac.n_iterations(0.99, 0.0) == 1
     assert ransac.n_iterations(0.99, 0.5) > 1000
+
+
+def test_refine_essential_improves_noisy_E():
+    """GN manifold refinement reduces Sampson error of a perturbed E."""
+    R, t, p, p_t = make_pair(seed=21, N=96)
+    # noisy matches
+    key = jax.random.PRNGKey(5)
+    p_t_n = p_t.at[:, :2].add(jax.random.normal(key, (96, 2)) * 2e-3)
+    E0 = essential.eight_point(p[:32], p_t_n[:32])  # fit on a subset: imperfect
+    e_before = float(jnp.mean(essential.sampson_error(E0, p, p_t_n)))
+    E1 = essential.refine_essential(E0, p, p_t_n)
+    e_after = float(jnp.mean(essential.sampson_error(E1, p, p_t_n)))
+    assert e_after <= e_before * 1.0001, (e_before, e_after)
+    # Pose from the refined E should be at least as close to GT.
+    R0_hat, t0_hat, _ = essential.recover_pose(E0, p, p_t_n)
+    R1_hat, t1_hat, _ = essential.recover_pose(E1, p, p_t_n)
+    err0 = float(jnp.linalg.norm(R0_hat - R))
+    err1 = float(jnp.linalg.norm(R1_hat - R))
+    assert err1 <= err0 + 1e-3, (err0, err1)
+
+
+def test_refine_essential_preserves_perfect_E():
+    R, t, p, p_t = make_pair(seed=22)
+    E_gt = true_E(R, t)
+    E_gt = E_gt / jnp.linalg.norm(E_gt)
+    E1 = essential.refine_essential(E_gt, p, p_t)
+    d = min(float(jnp.linalg.norm(E1 - E_gt)), float(jnp.linalg.norm(E1 + E_gt)))
+    assert d < 1e-3, d
+
+
+def test_refine_essential_respects_mask():
+    R, t, p, p_t = make_pair(seed=23, N=64)
+    # Corrupt the masked-out half badly; refinement must ignore it.
+    key = jax.random.PRNGKey(9)
+    p_t_bad = p_t.at[32:, :2].add(jax.random.normal(key, (32, 2)) * 0.5)
+    E0 = essential.eight_point(p[:32], p_t_bad[:32])
+    mask = jnp.arange(64) < 32
+    E1 = essential.refine_essential(E0, p, p_t_bad, mask=mask)
+    err_clean = float(jnp.mean(essential.sampson_error(E1, p[:32], p_t_bad[:32])))
+    assert err_clean < 1e-6

@@ -143,3 +143,56 @@ def test_end_to_end_orb_matching_pipeline():
             np.testing.assert_allclose(p2, p1 + [shift, 0], atol=1.5)
             n_checked += 1
     assert n_checked >= 10
+
+
+def test_vo_step_orb_pipeline():
+    """ORB-matched two-view VO recovers the pose on a rendered scene."""
+    import jax.numpy as jnp
+    from epivo_tpu.geometry import se3
+    from epivo_tpu.pipeline import vo
+    from tests.test_pipeline import SMALL_CFG, render
+
+    H, W = 120, 160
+    cfg = SMALL_CFG
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = jax.random.uniform(k1, (90,), minval=6.0, maxval=15.0)
+    xy = jax.random.uniform(k2, (90, 2), minval=-0.4, maxval=0.4) * z[:, None]
+    X = jnp.concatenate([xy, z[:, None]], axis=-1)
+    T_gt = se3.se3_exp(jnp.array([0.05, -0.03, 0.4, 0.01, -0.015, 0.008]))
+    img0 = render(X, cfg.camera.K(), se3.identity(), H, W)
+    img1 = render(X, cfg.camera.K(), T_gt, H, W)
+
+    res = vo.vo_step_orb(img0, img1, k3, cfg)
+    assert int(res.n_tracked) > 20
+    assert int(res.n_inliers) > 15
+    R_gt, t_gt = se3.matrix_to_rt(T_gt)
+    rot_err = float(jnp.linalg.norm(res.T[:3, :3] - R_gt))
+    assert rot_err < 0.05, rot_err
+
+
+def test_vo_step_orb_too_few_matches():
+    """Textureless frames -> identity fallback, not a crash."""
+    import jax.numpy as jnp
+    from epivo_tpu.pipeline import vo
+    from tests.test_pipeline import SMALL_CFG
+
+    img = jnp.full((120, 160), 50.0)
+    res = vo.vo_step_orb(img, img, jax.random.PRNGKey(0), SMALL_CFG)
+    assert int(res.n_tracked) < 8
+    np.testing.assert_allclose(np.asarray(res.T[:3, :3]), np.eye(3), atol=1e-6)
+
+
+def test_pyramid_orb_detection():
+    img = textured_image(H=200, W=260, n_blobs=80)
+    kps, descs, levels = orb.detect_and_describe_pyramid(
+        img, threshold=15.0, max_keypoints=256, n_levels=4
+    )
+    assert kps.xy.shape[0] == descs.signs.shape[0] == levels.shape[0]
+    n_valid = int(kps.valid.sum())
+    assert n_valid > 30
+    # Detections from coarser levels exist and map inside the image.
+    lv = np.asarray(levels)[np.asarray(kps.valid)]
+    assert lv.max() >= 1
+    pts = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    assert pts[:, 0].max() < 260 and pts[:, 1].max() < 200
