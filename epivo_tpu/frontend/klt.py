@@ -113,18 +113,51 @@ def _grad_batch(wins: jnp.ndarray):
     return sep(d, s), sep(s, d)
 
 
+def _shift_select(v: jnp.ndarray, idx: jnp.ndarray, out_len: int, n_off: int,
+                  axis: int) -> jnp.ndarray:
+    """Per-lane dynamic shift along ``axis`` via binary-decomposed selects.
+
+    v: [..., K] stack with the keypoint axis in TPU lanes; idx [K] integer
+    offsets in [0, n_off). Semantically returns
+    ``v[..., idx:idx+out_len, ...]`` per lane, as ceil(log2(n_off)) two-way
+    ``where`` stages over statically shifted views — O(log n) full-tile VPU
+    selects instead of the O(n) masked select-sum, no gathers.
+    """
+    nbits = max(1, int(n_off - 1)).bit_length()
+    shifts = [1 << b for b in range(nbits)][::-1]
+    need = out_len + sum(shifts)
+    L = v.shape[axis]
+    if L < need:  # pad (never selected: idx + out_len <= L by contract)
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (0, need - L)
+        v = jnp.pad(v, pad)
+    rem = need
+    cur = jax.lax.slice_in_dim(v, 0, need, axis=axis)
+    bshape = [1] * v.ndim
+    bshape[-1] = idx.shape[0]
+    for s in shifts:
+        rem -= s
+        bit = ((idx & s) != 0).reshape(bshape)
+        cur = jnp.where(
+            bit,
+            jax.lax.slice_in_dim(cur, s, s + rem, axis=axis),
+            jax.lax.slice_in_dim(cur, 0, rem, axis=axis),
+        )
+    return cur
+
+
 def _sample_lanes(wins_T: jnp.ndarray, q: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Lane-major bilinear patch sampling via static-slice select-sums.
+    """Lane-major bilinear patch sampling via binary-shift selects.
 
     wins_T: [S, S, K] windows with the keypoint axis in TPU lanes.
     q: [K, 2] continuous top-left corners (clamped to [0, S - win - 1)).
     Returns [win, win, K].
 
-    The per-keypoint integer offset is handled by summing the (S - win)
-    statically shifted views of the window stack, each masked to the lanes
-    whose offset selects it — pure VPU select/add on fully-utilized
-    (sublane, lane) tiles, no gathers, no per-lane matmuls. The fractional
-    part is the usual 4-tap blend of statically shifted views.
+    The per-keypoint integer offset is applied by :func:`_shift_select`
+    (log2(S - win) two-way selects over statically shifted views — pure VPU
+    work on fully-utilized (sublane, lane) tiles, no gathers, no per-lane
+    matmuls); the fractional part is the usual 4-tap blend of statically
+    shifted views.
     """
     S = wins_T.shape[0]
     n_off = S - win  # integer offsets 0 .. S-win-1
@@ -136,16 +169,8 @@ def _sample_lanes(wins_T: jnp.ndarray, q: jnp.ndarray, win: int) -> jnp.ndarray:
     fx = (qx - jnp.floor(qx))[None, None, :]
     fy = (qy - jnp.floor(qy))[None, None, :]
 
-    acc_y = jnp.zeros((win + 1, S, wins_T.shape[2]), wins_T.dtype)
-    for s in range(n_off):
-        acc_y = acc_y + jnp.where(
-            (iy == s)[None, None, :], wins_T[s : s + win + 1, :, :], 0.0
-        )
-    acc = jnp.zeros((win + 1, win + 1, wins_T.shape[2]), wins_T.dtype)
-    for s in range(n_off):
-        acc = acc + jnp.where(
-            (ix == s)[None, None, :], acc_y[:, s : s + win + 1, :], 0.0
-        )
+    acc_y = _shift_select(wins_T, iy, win + 1, n_off, axis=0)  # [win+1, S, K]
+    acc = _shift_select(acc_y, ix, win + 1, n_off, axis=1)  # [win+1, win+1, K]
     return (
         acc[:win, :win] * (1 - fx) * (1 - fy)
         + acc[:win, 1:] * fx * (1 - fy)
@@ -165,11 +190,16 @@ def _track_level(
     eps: float,
     min_eig: float,
     n_chunks: int = 2,
+    use_pallas: bool = False,
 ):
     """One pyramid level of LK for all points at once.
 
     pt_src / guess: [K, 2] positions at this level's scale.
     Returns (new_guess [K, 2], ok [K], err [K]).
+
+    With ``use_pallas`` the per-chunk iteration loop runs as the VMEM-
+    resident Pallas kernel (`pallas_klt.lk_iterate_pallas`, same math);
+    otherwise as a ``lax.scan``.
     """
     S = win + 2 * margin + 1
     dtype = pt_src.dtype
@@ -203,36 +233,47 @@ def _track_level(
 
     q_last = None
     tgt_lanes = o_t = None
+    err = None
     for _ in range(n_chunks):
         tgt_wins, o_t = _extract_windows(tgt, g, S)
         tgt_lanes = to_lanes(tgt_wins)
         q0 = jnp.clip(g - o_t - (win - 1) / 2.0, 0.0, hi)
 
-        def body(carry, _):
-            q, done = carry
-            P = _sample_lanes(tgt_lanes, q, win)
-            dI = P - T
-            bx = jnp.sum(dI * Ix, axis=(0, 1))
-            by = jnp.sum(dI * Iy, axis=(0, 1))
-            dx = -(Gyy * bx - Gxy * by) * inv_det
-            dy = -(-Gxy * bx + Gxx * by) * inv_det
-            step = jnp.stack([dx, dy], axis=-1)  # [K, 2]
-            q_new = jnp.where(
-                done[:, None], q, jnp.clip(q + step, 0.0, hi)
-            )
-            done_new = done | (jnp.linalg.norm(step, axis=-1) < eps)
-            return (q_new, done_new), None
+        if use_pallas:
+            from epivo_tpu.frontend.pallas_klt import lk_iterate_pallas
 
-        (q_fin, _), _ = jax.lax.scan(
-            body, (q0, jnp.zeros(g.shape[0], bool)), None, length=chunk_iters
-        )
+            q_fin, err = lk_iterate_pallas(
+                tgt_lanes, T, Ix, Iy, q0, win, chunk_iters, eps
+            )
+        else:
+
+            def body(carry, _):
+                q, done = carry
+                P = _sample_lanes(tgt_lanes, q, win)
+                dI = P - T
+                bx = jnp.sum(dI * Ix, axis=(0, 1))
+                by = jnp.sum(dI * Iy, axis=(0, 1))
+                dx = -(Gyy * bx - Gxy * by) * inv_det
+                dy = -(-Gxy * bx + Gxx * by) * inv_det
+                step = jnp.stack([dx, dy], axis=-1)  # [K, 2]
+                q_new = jnp.where(
+                    done[:, None], q, jnp.clip(q + step, 0.0, hi)
+                )
+                done_new = done | (jnp.linalg.norm(step, axis=-1) < eps)
+                return (q_new, done_new), None
+
+            (q_fin, _), _ = jax.lax.scan(
+                body, (q0, jnp.zeros(g.shape[0], bool)), None,
+                length=chunk_iters,
+            )
         g = q_fin + o_t + (win - 1) / 2.0
         q_last = q_fin
 
-    # Final error from the last chunk's window (saves a re-extraction; the
-    # final iterate rarely exceeds the margin within a chunk).
-    P_fin = _sample_lanes(tgt_lanes, q_last, win)
-    err = jnp.mean(jnp.abs(P_fin - T), axis=(0, 1))
+    if err is None:
+        # Final error from the last chunk's window (saves a re-extraction;
+        # the final iterate rarely exceeds the margin within a chunk).
+        P_fin = _sample_lanes(tgt_lanes, q_last, win)
+        err = jnp.mean(jnp.abs(P_fin - T), axis=(0, 1))
     # Position of pt_src's content = pt_src + measured template flow.
     return pt_src + (g - c_eff), ok, err
 
@@ -248,15 +289,26 @@ def track(
     eps: float = 0.01,
     min_eig: float = 1e-4,
     max_err: float = 1e9,
-    margin: int = 6,
+    margin: int = 12,
+    n_chunks: int = 1,
+    use_pallas: bool | None = None,
 ) -> FlowResult:
     """Track points from src to tgt image. pts [K, 2] (x, y) pixels.
 
     OpenCV-default-equivalent configuration: winSize 21, maxLevel 3
     (4 levels), 30 iterations, eps 0.01. ``margin`` bounds per-chunk
-    displacement per level (coarser levels absorb larger motion; window
-    re-centering between chunks extends the range).
+    displacement per level; ``n_chunks`` re-centers the search window
+    between iteration chunks to extend the range. The default (one chunk,
+    margin 12) matches the range of the old 2x-margin-6 configuration at
+    2/3 the window-extraction cost — extraction, not iteration, is what
+    the TPU pays for. On TPU backends the iteration loop runs as a
+    VMEM-resident Pallas kernel (same math); pass ``use_pallas`` to
+    override.
     """
+    if use_pallas is None:
+        from epivo_tpu.frontend.fast import _use_pallas_default
+
+        use_pallas = _use_pallas_default()
     pyr_s = imops.build_pyramid(src, levels)
     pyr_t = imops.build_pyramid(tgt, levels)
 
@@ -282,7 +334,8 @@ def track(
         scale = 2.0**lvl
         p_lvl = pts / scale
         g, ok_lvl, err = _track_level(
-            pyr_s[lvl], pyr_t[lvl], p_lvl, g, win, margin, iters, eps, min_eig
+            pyr_s[lvl], pyr_t[lvl], p_lvl, g, win, margin, iters, eps,
+            min_eig, n_chunks=n_chunks, use_pallas=use_pallas,
         )
         ok = ok & ok_lvl
         if lvl > 0:

@@ -1,0 +1,175 @@
+"""Pyramidal LK iteration loop as a Pallas TPU kernel.
+
+TPU-native core of the tracker that replaces the reference's
+``calcOpticalFlowPyrLK`` inner loop (`kitti_ba.cpp:220-228`,
+`kitti_E.cpp:82-95`). The XLA formulation (``klt._track_level``'s
+``lax.scan``) round-trips the [S, S, K] window stack and the iteration
+carry through HBM on every loop step; this kernel keeps the windows, the
+template, and the gradients resident in VMEM for all iterations, so each
+LK step is pure VPU work on (sublane, lane) tiles with the keypoint axis
+in lanes.
+
+Semantics are identical to the scan path (same binary-shift bilinear
+sampler, same clamping, same eps-freeze rule); ``klt.track`` selects this
+kernel automatically on TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE_BLOCK = 128
+
+
+def _shift_select(v, idx_bits, out_len, n_off, axis):
+    """Per-lane dynamic shift via binary-decomposed two-way selects.
+
+    Same construction as ``klt._shift_select`` (see there for the
+    derivation); ``idx_bits`` is the integer offset already reshaped to
+    broadcast against ``v``.
+    """
+    nbits = max(1, int(n_off - 1)).bit_length()
+    shifts = [1 << b for b in range(nbits)][::-1]
+    need = out_len + sum(shifts)
+    L = v.shape[axis]
+    if L < need:
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (0, need - L)
+        v = jnp.pad(v, pad)
+    rem = need
+    cur = jax.lax.slice_in_dim(v, 0, need, axis=axis)
+    for s in shifts:
+        rem -= s
+        bit = (idx_bits & s) != 0
+        cur = jnp.where(
+            bit,
+            jax.lax.slice_in_dim(cur, s, s + rem, axis=axis),
+            jax.lax.slice_in_dim(cur, 0, rem, axis=axis),
+        )
+    return cur
+
+
+def _sample(wins, qx, qy, win, n_off):
+    """Bilinear [win, win, Kb] patches from [S, S, Kb] at per-lane (qx, qy)."""
+    ix = jnp.floor(qx).astype(jnp.int32)[None, None, :]
+    iy = jnp.floor(qy).astype(jnp.int32)[None, None, :]
+    fx = (qx - jnp.floor(qx))[None, None, :]
+    fy = (qy - jnp.floor(qy))[None, None, :]
+    acc_y = _shift_select(wins, iy, win + 1, n_off, axis=0)
+    acc = _shift_select(acc_y, ix, win + 1, n_off, axis=1)
+    return (
+        acc[:win, :win] * (1 - fx) * (1 - fy)
+        + acc[:win, 1:] * fx * (1 - fy)
+        + acc[1:, :win] * (1 - fx) * fy
+        + acc[1:, 1:] * fx * fy
+    )
+
+
+def _lk_kernel(win, S, iters, eps, tgt_ref, T_ref, Ix_ref, Iy_ref, q_ref,
+               qout_ref, err_ref):
+    """All LK iterations for one lane block, entirely in VMEM.
+
+    tgt_ref: [S, S, Kb] target windows; T/Ix/Iy: [win, win, Kb] template and
+    gradients (pre-sampled at the template's fractional position);
+    q_ref: [2, Kb] initial top-left corners (row 0 = x, row 1 = y).
+    qout_ref: [2, Kb] final corners; err_ref: [1, Kb] mean |residual|.
+    """
+    n_off = S - win
+    hi = jnp.float32(S - win - 1 - 1e-3)
+    tgt = tgt_ref[:]
+    T = T_ref[:]
+    Ix = Ix_ref[:]
+    Iy = Iy_ref[:]
+
+    Gxx = jnp.sum(Ix * Ix, axis=(0, 1))[None, :]  # [1, Kb]
+    Gxy = jnp.sum(Ix * Iy, axis=(0, 1))[None, :]
+    Gyy = jnp.sum(Iy * Iy, axis=(0, 1))[None, :]
+    det = Gxx * Gyy - Gxy * Gxy
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    q0 = q_ref[:]  # [2, Kb]
+    qx0 = jnp.clip(q0[0:1, :], 0.0, hi)
+    qy0 = jnp.clip(q0[1:2, :], 0.0, hi)
+    # ``done`` is carried as float 0/1: a bool vector in the fori_loop carry
+    # trips a Mosaic mask-layout bug (i1 packing mismatch across iterations).
+    done0 = jnp.zeros_like(qx0)
+
+    def body(_, carry):
+        qx, qy, done = carry  # each [1, Kb]
+        P = _sample(tgt, qx[0], qy[0], win, n_off)
+        dI = P - T
+        bx = jnp.sum(dI * Ix, axis=(0, 1))[None, :]
+        by = jnp.sum(dI * Iy, axis=(0, 1))[None, :]
+        dx = -(Gyy * bx - Gxy * by) * inv_det
+        dy = -(-Gxy * bx + Gxx * by) * inv_det
+        frozen = done > 0.5
+        qx_n = jnp.where(frozen, qx, jnp.clip(qx + dx, 0.0, hi))
+        qy_n = jnp.where(frozen, qy, jnp.clip(qy + dy, 0.0, hi))
+        done_n = jnp.maximum(
+            done, (jnp.sqrt(dx * dx + dy * dy) < eps).astype(done.dtype)
+        )
+        return qx_n, qy_n, done_n
+
+    qx, qy, _ = jax.lax.fori_loop(0, iters, body, (qx0, qy0, done0))
+
+    P_fin = _sample(tgt, qx[0], qy[0], win, n_off)
+    err_ref[:, :] = jnp.mean(jnp.abs(P_fin - T), axis=(0, 1))[None, :]
+    qout_ref[0:1, :] = qx
+    qout_ref[1:2, :] = qy
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def lk_iterate_pallas(tgt_wins_T, T, Ix, Iy, q0, win: int, iters: int,
+                      eps: float, interpret: bool = False):
+    """Run ``iters`` LK refinement steps for all keypoints.
+
+    tgt_wins_T: [S, S, K]; T/Ix/Iy: [win, win, K]; q0: [K, 2] top-left
+    corners. Returns (q_fin [K, 2], err [K]). K is padded to a multiple of
+    the 128-lane block internally.
+    """
+    S = tgt_wins_T.shape[0]
+    K = tgt_wins_T.shape[-1]
+    Kb = _LANE_BLOCK
+    Kp = pl.cdiv(K, Kb) * Kb
+    if Kp != K:
+        padw = [(0, 0), (0, 0), (0, Kp - K)]
+        tgt_wins_T = jnp.pad(tgt_wins_T, padw)
+        T = jnp.pad(T, padw)
+        Ix = jnp.pad(Ix, padw)
+        # Pad Iy's G-matrix to identity-safe zeros like the rest.
+        Iy = jnp.pad(Iy, padw)
+        q0 = jnp.pad(q0, [(0, Kp - K), (0, 0)])
+
+    q_in = jnp.transpose(q0.astype(jnp.float32), (1, 0))  # [2, Kp]
+    kern = functools.partial(_lk_kernel, win, S, iters, float(eps))
+    q_out, err = pl.pallas_call(
+        kern,
+        grid=(Kp // Kb,),
+        in_specs=[
+            pl.BlockSpec((S, S, Kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, win, Kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, win, Kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, win, Kb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Kb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, Kb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tgt_wins_T.astype(jnp.float32), T.astype(jnp.float32),
+      Ix.astype(jnp.float32), Iy.astype(jnp.float32), q_in)
+    return jnp.transpose(q_out, (1, 0))[:K], err[0, :K]

@@ -128,3 +128,36 @@ def test_klt_jit():
     fn = jax.jit(lambda a, b, p: klt.track(a, b, p, levels=2))
     res = fn(src, tgt, pts)
     assert res.xy.shape == (1, 2)
+
+
+def test_downsample_reshape_equals_strided_slice():
+    """downsample2's reshape decimation == blur + [::2, ::2] exactly,
+    including odd dimensions."""
+    rng = np.random.default_rng(5)
+    for H, W in [(376, 1241), (37, 41), (16, 16), (9, 130)]:
+        img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+        k5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+        p = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
+        h = sum(p[:, i : i + W] * k5[i] for i in range(5))
+        v = sum(h[i : i + H, :] * k5[i] for i in range(5))
+        old = v[::2, ::2]
+        new = imops.downsample2(img)
+        assert new.shape == old.shape
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_shift_select_matches_gather():
+    """klt._shift_select == per-lane dynamic slice for every offset."""
+    from epivo_tpu.frontend import klt
+
+    rng = np.random.default_rng(6)
+    L, K, out_len = 34, 16, 22
+    n_off = L - out_len + 1
+    v = jnp.asarray(rng.normal(size=(L, 5, K)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n_off, size=(K,)).astype(np.int32))
+    got = klt._shift_select(v, idx, out_len, n_off, axis=0)
+    want = np.stack(
+        [np.asarray(v)[int(idx[k]) : int(idx[k]) + out_len, :, k]
+         for k in range(K)], axis=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -36,3 +36,78 @@ def test_detect_backend_selection():
     kp_default = fast.detect(img, 20.0, 64)
     kp_xla = fast.detect(img, 20.0, 64, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(kp_default.xy), np.asarray(kp_xla.xy))
+
+
+def test_pallas_lk_iterate_matches_scan():
+    """lk_iterate_pallas == the lax.scan LK body (klt._track_level path)."""
+    from epivo_tpu.frontend import klt
+    from epivo_tpu.frontend.pallas_klt import lk_iterate_pallas
+
+    rng = np.random.default_rng(1)
+    S, win, K, iters, eps = 34, 21, 130, 7, 0.01  # K forces lane padding
+    tgt = jnp.asarray(rng.normal(size=(S, S, K)).astype(np.float32))
+    T = jnp.asarray(rng.normal(size=(win, win, K)).astype(np.float32))
+    Ix = jnp.asarray(rng.normal(size=(win, win, K)).astype(np.float32))
+    Iy = jnp.asarray(rng.normal(size=(win, win, K)).astype(np.float32))
+    q0 = jnp.asarray(
+        rng.uniform(0, S - win - 1.1, size=(K, 2)).astype(np.float32)
+    )
+
+    hi = S - win - 1 - 1e-3
+    Gxx = jnp.sum(Ix * Ix, (0, 1))
+    Gxy = jnp.sum(Ix * Iy, (0, 1))
+    Gyy = jnp.sum(Iy * Iy, (0, 1))
+    det = Gxx * Gyy - Gxy * Gxy
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    def body(carry, _):
+        q, done = carry
+        P = klt._sample_lanes(tgt, q, win)
+        dI = P - T
+        bx = jnp.sum(dI * Ix, (0, 1))
+        by = jnp.sum(dI * Iy, (0, 1))
+        dx = -(Gyy * bx - Gxy * by) * inv_det
+        dy = -(-Gxy * bx + Gxx * by) * inv_det
+        st = jnp.stack([dx, dy], -1)
+        qn = jnp.where(done[:, None], q, jnp.clip(q + st, 0.0, hi))
+        return (qn, done | (jnp.linalg.norm(st, axis=-1) < eps)), None
+
+    (qf, _), _ = jax.lax.scan(
+        body, (jnp.clip(q0, 0.0, hi), jnp.zeros(K, bool)), None, length=iters
+    )
+    errf = jnp.mean(jnp.abs(klt._sample_lanes(tgt, qf, win) - T), (0, 1))
+
+    qp, errp = lk_iterate_pallas(tgt, T, Ix, Iy, q0, win, iters, eps,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(errp), np.asarray(errf), atol=2e-6)
+
+
+def test_track_level_pallas_matches_scan(monkeypatch):
+    """_track_level with the Pallas chunk loop == the scan chunk loop on a
+    realistic textured pair (interpret mode on CPU)."""
+    from epivo_tpu.frontend import klt, pallas_klt
+
+    # Force interpret mode inside the auto-selected kernel.
+    orig = pallas_klt.lk_iterate_pallas
+    monkeypatch.setattr(
+        pallas_klt, "lk_iterate_pallas",
+        lambda *a, **k: orig(*a, interpret=True, **k),
+    )
+
+    rng = np.random.default_rng(3)
+    H, W, K = 120, 160, 40
+    img0 = jnp.asarray(
+        np.cumsum(np.cumsum(rng.normal(size=(H, W)), 0), 1).astype(np.float32)
+    )
+    img1 = jnp.asarray(np.roll(np.roll(np.asarray(img0), 2, 1), -2, 0))
+    pts = jnp.asarray(
+        rng.uniform(20, [W - 20, H - 20], size=(K, 2)).astype(np.float32)
+    )
+
+    a = klt._track_level(img0, img1, pts, pts, 21, 6, 10, 0.01, 1e-4,
+                         use_pallas=False)
+    b = klt._track_level(img0, img1, pts, pts, 21, 6, 10, 0.01, 1e-4,
+                         use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
