@@ -289,7 +289,7 @@ def track(
     eps: float = 0.01,
     min_eig: float = 1e-4,
     max_err: float = 1e9,
-    margin: int = 12,
+    margin: int | tuple[int, ...] | list[int] | None = None,
     n_chunks: int = 1,
     use_pallas: bool | None = None,
 ) -> FlowResult:
@@ -297,28 +297,41 @@ def track(
 
     OpenCV-default-equivalent configuration: winSize 21, maxLevel 3
     (4 levels), 30 iterations, eps 0.01. ``margin`` bounds per-chunk
-    displacement per level; ``n_chunks`` re-centers the search window
-    between iteration chunks to extend the range. The default (one chunk,
-    margin 12) matches the range of the old 2x-margin-6 configuration at
-    2/3 the window-extraction cost — extraction, not iteration, is what
-    the TPU pays for. On TPU backends the iteration loop runs as a
-    VMEM-resident Pallas kernel (same math); pass ``use_pallas`` to
-    override.
+    displacement per level — an int (same at every level) or a per-level
+    sequence indexed by pyramid level (entry 0 = full resolution);
+    ``n_chunks`` re-centers the search window between iteration chunks to
+    extend the range. The default schedule keeps margin 12 at the top
+    level (where the unknown full motion must be absorbed) and shrinks to
+    6 at the fine levels, where the incoming coarse-level guess leaves
+    only a subpixel-to-few-pixel residual: window extraction + gradient
+    cost scales with (win + 2*margin + 1)^2, and extraction — not
+    iteration — is what the TPU pays for. On TPU backends the iteration
+    loop runs as a VMEM-resident Pallas kernel (same math); pass
+    ``use_pallas`` to override.
     """
     if use_pallas is None:
         from epivo_tpu.frontend.fast import _use_pallas_default
 
         use_pallas = _use_pallas_default()
+    if margin is None:
+        # Residual flow halves per refined level; 6 px covers it generously.
+        margin = [6] * levels
+        margin[levels - 1] = 12
+    elif isinstance(margin, int):
+        margin = [margin] * levels
+    margin = list(margin)
+    assert len(margin) == levels
+
     pyr_s = imops.build_pyramid(src, levels)
     pyr_t = imops.build_pyramid(tgt, levels)
 
     # Small top levels must still fit the slice window: pad bottom/right
     # with edge replication (coordinates are unaffected).
-    S = win + 2 * margin + 1
+    S_max = win + 2 * max(margin) + 1
 
     def pad_to_window(im):
-        ph = max(0, S - im.shape[0])
-        pw = max(0, S - im.shape[1])
+        ph = max(0, S_max - im.shape[0])
+        pw = max(0, S_max - im.shape[1])
         if ph or pw:
             im = jnp.pad(im, ((0, ph), (0, pw)), mode="edge")
         return im
@@ -334,7 +347,7 @@ def track(
         scale = 2.0**lvl
         p_lvl = pts / scale
         g, ok_lvl, err = _track_level(
-            pyr_s[lvl], pyr_t[lvl], p_lvl, g, win, margin, iters, eps,
+            pyr_s[lvl], pyr_t[lvl], p_lvl, g, win, margin[lvl], iters, eps,
             min_eig, n_chunks=n_chunks, use_pallas=use_pallas,
         )
         ok = ok & ok_lvl
