@@ -131,8 +131,9 @@ def test_klt_jit():
 
 
 def test_downsample_reshape_equals_strided_slice():
-    """downsample2's reshape decimation == blur + [::2, ::2] exactly,
-    including odd dimensions."""
+    """downsample2's reshape decimation == blur + [::2, ::2] (to float
+    rounding: XLA may fuse the two formulations with different summation
+    order), including odd dimensions."""
     rng = np.random.default_rng(5)
     for H, W in [(376, 1241), (37, 41), (16, 16), (9, 130)]:
         img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
@@ -143,7 +144,9 @@ def test_downsample_reshape_equals_strided_slice():
         old = v[::2, ::2]
         new = imops.downsample2(img)
         assert new.shape == old.shape
-        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        np.testing.assert_allclose(
+            np.asarray(old), np.asarray(new), atol=1e-6, rtol=0
+        )
 
 
 def test_shift_select_matches_gather():
