@@ -27,10 +27,31 @@ class FrontendConfig:
 
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
-    n_hyp: int = 512
+    # Hypothesis count. None derives it from (confidence, outlier_ratio) via
+    # the classic RANSAC iteration formula — the reference's per-driver
+    # confidence policies (SURVEY C13) expressed the TPU way: the count must
+    # be static, so it is resolved at config time, not per call.
+    n_hyp: int | None = None
     confidence: float = 0.99  # ref `kitti_E.cpp:102`
+    outlier_ratio: float = 0.5  # design assumption for deriving n_hyp
     threshold_px: float = 1.0  # pixel threshold; normalized by fx at use
     method: str = "ransac"  # or "lmeds" (ref kitti_E uses LMEDS)
+    # Gauss-Newton refinement of E on its 5-DoF manifold after RANSAC —
+    # the accuracy counterpart of OpenCV's Nistér 5-point solver
+    # (ref `kitti_E.cpp:98-104`); see `essential.refine_essential`.
+    refine_e: bool = True
+    refine_iters: int = 8
+
+    def hypotheses(self) -> int:
+        """Static hypothesis count: explicit ``n_hyp``, else derived from
+        the confidence policy, rounded up to full 128-lane registers and
+        clamped to a TPU-sane range."""
+        if self.n_hyp is not None:
+            return self.n_hyp
+        from epivo_tpu import ransac as _ransac
+
+        n = _ransac.n_iterations(self.confidence, self.outlier_ratio)
+        return int(min(max(128, -(-n // 128) * 128), 4096))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +83,8 @@ class BAConfig:
 
     camera: cam.Pinhole = cam.KITTI_00
     frontend: FrontendConfig = FrontendConfig()
-    ransac: RansacConfig = RansacConfig(confidence=0.99, threshold_px=1.0)
+    ransac: RansacConfig = RansacConfig(confidence=0.99, outlier_ratio=0.4,
+                                        threshold_px=1.0)
     lm: LMConfig = dataclasses.field(
         default_factory=lambda: LMConfig(n_points=32, revert_r_norm=1e-2)
     )

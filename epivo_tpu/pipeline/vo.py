@@ -66,10 +66,17 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
 
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
-        key, p0, p1, n_hyp=rc.n_hyp, threshold=thr, mask=flow.status,
+        key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=flow.status,
         method=rc.method,
     )
-    R_e, t_e, front = essential.recover_pose(rres.E, p0, p1, mask=rres.inliers)
+    E = rres.E
+    if rc.refine_e:
+        # 5-DoF manifold GN on the Sampson cost over the support set — the
+        # accuracy counterpart of the reference's Nistér 5-point E
+        # (`kitti_E.cpp:98-104`); closes the 8-point-minimal accuracy gap.
+        E = essential.refine_essential(E, p0, p1, mask=rres.inliers,
+                                       iters=rc.refine_iters)
+    R_e, t_e, front = essential.recover_pose(E, p0, p1, mask=rres.inliers)
     R_e, t_e = essential.pose_fallback(R_e, t_e)
     T_e = se3.rt_to_matrix(R_e, t_e)
 
@@ -143,10 +150,14 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
 
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
-        key, p0, p1, n_hyp=rc.n_hyp, threshold=thr, mask=status,
+        key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=status,
         method=rc.method,
     )
-    R_e, t_e, front = essential.recover_pose(rres.E, p0, p1, mask=rres.inliers)
+    E = rres.E
+    if rc.refine_e:
+        E = essential.refine_essential(E, p0, p1, mask=rres.inliers,
+                                       iters=rc.refine_iters)
+    R_e, t_e, front = essential.recover_pose(E, p0, p1, mask=rres.inliers)
     R_e, t_e = essential.pose_fallback(R_e, t_e)
     # >= 8 matches gate -> identity fallback (ref `kitti_ba.cpp:701,741-744`).
     too_few = n_matches < 8

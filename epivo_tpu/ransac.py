@@ -108,7 +108,12 @@ def ransac_essential(
         sigma = 2.5 * 1.4826 * (1.0 + 5.0 / jnp.maximum(n_valid - 8, 1)) * jnp.sqrt(
             jnp.maximum(best_med, 1e-18)
         )
-        thr = jnp.maximum(sigma * sigma, jnp.asarray(threshold, p.dtype) ** 1)
+        # Units: Sampson errors, ``best_med``, and the caller's ``threshold``
+        # are all SQUARED normalized-coordinate quantities; sigma is linear,
+        # so the inlier gate compares err < sigma^2. The user threshold acts
+        # as a floor so a razor-sharp median (e.g. exact synthetic data)
+        # cannot collapse the inlier set below the caller's pixel tolerance.
+        thr = jnp.maximum(sigma * sigma, jnp.asarray(threshold, p.dtype))
     else:
         inl = (err < threshold) & valid[None, :]
         score = jnp.sum(inl, axis=-1).astype(p.dtype)

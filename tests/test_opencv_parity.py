@@ -110,6 +110,102 @@ def test_recover_pose_matches_opencv():
     np.testing.assert_allclose(np.asarray(t_ours), t_cv.reshape(-1), atol=1e-4)
 
 
+def _pose_errors(R_est, t_est, T_gt):
+    """(rotation angle, translation direction angle) in radians vs GT."""
+    R_gt = np.asarray(T_gt)[:3, :3]
+    t_gt = np.asarray(T_gt)[:3, 3]
+    R_est = np.asarray(R_est, np.float64)
+    t_est = np.asarray(t_est, np.float64).reshape(-1)
+    c = (np.trace(R_est.T @ R_gt) - 1.0) / 2.0
+    rot = float(np.arccos(np.clip(c, -1.0, 1.0)))
+    tu = t_est / (np.linalg.norm(t_est) + 1e-12)
+    gu = t_gt / (np.linalg.norm(t_gt) + 1e-12)
+    ang = float(np.arccos(np.clip(np.dot(tu, gu), -1.0, 1.0)))
+    return rot, ang
+
+
+def test_refine_essential_ab_vs_cv2_5point():
+    """A/B: manifold GN refinement closes the 8-point gap to cv2's Nistér
+    5-point (the reference's solver, `kitti_E.cpp:98-104`) under pixel noise.
+
+    Three estimators on the same noisy matches: (a) our batched RANSAC
+    8-point alone, (b) (a) + refine_essential (what vo_step now ships),
+    (c) cv2 findEssentialMat (5-point) + recoverPose. Averaged over seeds:
+    (b) must not be worse than (a) and must be in cv2's accuracy class.
+    """
+    raws, refs, cvs = [], [], []
+    for seed in range(6):
+        key = jax.random.PRNGKey(100 + seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        T = synthetic.random_pose(k1)
+        _, p, p_t = synthetic.gen_points(k2, 96, T, pixel_noise=1.5e-3)
+
+        rres = rm.ransac_essential(k3, p, p_t, n_hyp=512, threshold=4e-5)
+        R8, t8, _ = essential.recover_pose(rres.E, p, p_t, mask=rres.inliers)
+        raws.append(_pose_errors(R8, t8, T))
+
+        E_ref = essential.refine_essential(rres.E, p, p_t, mask=rres.inliers)
+        Rr, tr, _ = essential.recover_pose(E_ref, p, p_t, mask=rres.inliers)
+        refs.append(_pose_errors(Rr, tr, T))
+
+        p_np = np.asarray(p, np.float64)[:, :2]
+        p_t_np = np.asarray(p_t, np.float64)[:, :2]
+        E_cv, _ = cv2.findEssentialMat(
+            p_np, p_t_np, np.eye(3), method=cv2.RANSAC, prob=0.999,
+            threshold=4.5e-3,
+        )
+        E_cv = E_cv[:3]
+        _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, p_np, p_t_np, np.eye(3))
+        cvs.append(_pose_errors(R_cv, t_cv, T))
+
+    raw_rot, raw_t = np.mean(raws, axis=0)
+    ref_rot, ref_t = np.mean(refs, axis=0)
+    cv_rot, cv_t = np.mean(cvs, axis=0)
+    # Refinement never hurts...
+    assert ref_rot <= raw_rot * 1.05 + 1e-4, (ref_rot, raw_rot)
+    assert ref_t <= raw_t * 1.05 + 1e-3, (ref_t, raw_t)
+    # ...and lands in the 5-point accuracy class (same order of magnitude).
+    assert ref_rot <= cv_rot * 1.5 + np.deg2rad(0.05), (ref_rot, cv_rot)
+    assert ref_t <= cv_t * 1.5 + np.deg2rad(0.5), (ref_t, cv_t)
+
+
+def test_lmeds_matches_opencv():
+    """LMedS path parity: same inlier decisions and pose class as cv2's
+    LMEDS on outlier-contaminated matches (the reference's kitti_E policy,
+    `kitti_E.cpp:98-104`)."""
+    agrees, ours_err, cv_err = [], [], []
+    for seed in range(4):
+        key = jax.random.PRNGKey(200 + seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        T = synthetic.random_pose(k1)
+        _, p, p_t = synthetic.gen_points(k2, 128, T, pixel_noise=5e-4)
+        # 30% gross outliers.
+        n_out = 38
+        noise = jax.random.normal(k3, (n_out, 2)) * 0.2
+        p_t = p_t.at[:n_out, :2].add(noise)
+
+        res = rm.ransac_essential(k4, p, jnp.asarray(p_t), n_hyp=512,
+                                  threshold=4e-5, method="lmeds")
+        Ro, to, _ = essential.recover_pose(res.E, p, p_t, mask=res.inliers)
+        ours_err.append(_pose_errors(Ro, to, T))
+
+        p_np = np.asarray(p, np.float64)[:, :2]
+        p_t_np = np.asarray(p_t, np.float64)[:, :2]
+        E_cv, mask_cv = cv2.findEssentialMat(
+            p_np, p_t_np, np.eye(3), method=cv2.LMEDS, prob=0.99
+        )
+        _, R_cv, t_cv, _ = cv2.recoverPose(E_cv[:3], p_np, p_t_np, np.eye(3))
+        cv_err.append(_pose_errors(R_cv, t_cv, T))
+        agree = (np.asarray(res.inliers) == mask_cv.reshape(-1).astype(bool)).mean()
+        agrees.append(agree)
+
+    assert np.mean(agrees) > 0.85, agrees
+    o_rot, o_t = np.mean(ours_err, axis=0)
+    c_rot, c_t = np.mean(cv_err, axis=0)
+    assert o_rot <= c_rot * 2.0 + np.deg2rad(0.2), (o_rot, c_rot)
+    assert o_t <= c_t * 2.0 + np.deg2rad(1.0), (o_t, c_t)
+
+
 def test_ransac_inliers_match_opencv_quality():
     key = jax.random.PRNGKey(4)
     k1, k2, k3 = jax.random.split(key, 3)
