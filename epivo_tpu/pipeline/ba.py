@@ -197,15 +197,71 @@ def propagate_scale(
     """Apply external per-zeta translation magnitudes (monocular scale).
 
     Monocular VO is scale-blind per window; the reference injects GT scale
-    per frame (`kitti_E.cpp:218-223`) or chains scales across windows
-    (`kitti_ba.cpp:853-870,896-903`). Given ``scales`` [F] (e.g. from GT or
-    an odometer), set each zeta's |t|; with None, normalize |t| to 1.
+    per frame (`kitti_E.cpp:218-223`). Given ``scales`` [F] (e.g. from GT or
+    an odometer), set each zeta's |t|.
+
+    With ``scales=None`` this is the identity: the joint LM solve recovers
+    the *relative* scales within each window (the skip constraint couples
+    consecutive zetas), and destroying them by unit-normalizing — as an
+    earlier revision did — is strictly worse than the reference. Cross-
+    window chaining without GT is :func:`boundary_scale_ratio` (the
+    reference's scheme, `kitti_ba.cpp:853-870,896-903`, re-derived through
+    shared structure).
     """
+    if scales is None:
+        return zetas
     t = zetas[:, :3, 3]
     norms = jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12
-    unit = t / norms
-    if scales is None:
-        new_t = unit
-    else:
-        new_t = unit * scales[:, None]
+    new_t = (t / norms) * scales[:, None]
     return zetas.at[:, :3, 3].set(new_t)
+
+
+def boundary_scale_ratio(
+    T_prev: jnp.ndarray,
+    T_next: jnp.ndarray,
+    p_back: jnp.ndarray,
+    pt_back: jnp.ndarray,
+    mask_back: jnp.ndarray,
+    p_fwd: jnp.ndarray,
+    pt_fwd: jnp.ndarray,
+    mask_fwd: jnp.ndarray,
+    min_common: int = 4,
+) -> float:
+    """Scale factor expressing window w+1's units in window w's units.
+
+    At a boundary frame b shared by consecutive windows, the SAME source
+    keypoints (FAST detection on frame b is deterministic) are tracked
+    backward to b-1 and forward to b+1, so the landmark depths in frame b
+    can be computed twice: through T_back = inv(T_prev) (T_prev = zeta
+    b-1 -> b in window-w units) and through T_next (zeta b -> b+1 in
+    window-w+1 units). Both are depths of the same physical landmarks, so
+
+        s = median(d_back / d_fwd)
+
+    rescales window w+1 into window w's units. This is the reference's
+    cross-window scale propagation (`kitti_ba.cpp:853-870,896-903`) made
+    explicit via shared structure instead of its boundary-|t| bookkeeping.
+
+    Rows of (p_back, pt_back) and (p_fwd, pt_fwd) must be aligned on the
+    same source keypoints of frame b. Host-side (runs once per boundary).
+    """
+    from epivo_tpu.geometry import epipolar as _epi, se3 as _se3
+
+    T_back = _se3.inverse(jnp.asarray(T_prev))
+    d_back, v_back = _epi.epipolar_depth(
+        T_back[:3, :3], T_back[:3, 3], jnp.asarray(p_back), jnp.asarray(pt_back)
+    )
+    T_next = jnp.asarray(T_next)
+    d_fwd, v_fwd = _epi.epipolar_depth(
+        T_next[:3, :3], T_next[:3, 3], jnp.asarray(p_fwd), jnp.asarray(pt_fwd)
+    )
+    d_b = np.asarray(d_back)
+    d_f = np.asarray(d_fwd)
+    both = (
+        np.asarray(v_back) & np.asarray(v_fwd)
+        & np.asarray(mask_back) & np.asarray(mask_fwd)
+        & (d_b > 1e-3) & (d_b < 1e4) & (d_f > 1e-3) & (d_f < 1e4)
+    )
+    if both.sum() < min_common:
+        return 1.0
+    return float(np.median(d_b[both] / d_f[both]))

@@ -198,6 +198,51 @@ def run_vo_sequence(
     )
 
 
+def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
+                   n_points: int, batch: int = 8) -> dict:
+    """Two-view match extraction for arbitrary (i, j) frame pairs, batched.
+
+    One jitted vmapped dispatch per ``batch`` pairs (the reference's
+    `_initializer` role, `kitti_ba.cpp:280-349`, but filling the chip
+    instead of running pairs serially). The last chunk is padded to the
+    full batch so exactly one program is compiled.
+
+    Returns {(i, j): {p, p_t, mask (top-n_points score-ranked), T,
+    p_full, p_t_full, mask_full}} with points in normalized coordinates.
+    """
+    if not pairs:
+        return {}
+    step = jax.jit(jax.vmap(lambda a, b, k: vo.vo_step(a, b, k, vo_cfg)))
+    key = jax.random.PRNGKey(seed)
+    K_inv = vo_cfg.camera.K_inv()
+    out = {}
+    for c0 in range(0, len(pairs), batch):
+        chunk = pairs[c0 : c0 + batch]
+        idxs = chunk + [chunk[-1]] * (batch - len(chunk))
+        src = jnp.asarray(np.stack([np.asarray(frames[i], np.float32)
+                                    for i, _ in idxs]))
+        tgt = jnp.asarray(np.stack([np.asarray(frames[j], np.float32)
+                                    for _, j in idxs]))
+        key, sub = jax.random.split(key)
+        res = step(src, tgt, jax.random.split(sub, batch))
+        T = np.asarray(res.T)
+        sel_all = np.asarray(res.points_valid)
+        inl_all = np.asarray(res.inlier_mask)
+        p0_all = np.asarray(vo.cam.normalize(res.matches_src, K_inv))
+        p1_all = np.asarray(vo.cam.normalize(res.matches_tgt, K_inv))
+        for b, (i, j) in enumerate(chunk):
+            sel = sel_all[b]
+            take = np.argsort(~sel)[:n_points]
+            out[(i, j)] = dict(
+                p=p0_all[b][take], p_t=p1_all[b][take], mask=sel[take],
+                T=T[b], p_full=p0_all[b], p_t_full=p1_all[b],
+                # Depth-ratio consumers want the parallax-ungated inliers
+                # (median-robust to the noisy small-parallax depths).
+                mask_full=inl_all[b],
+            )
+    return out
+
+
 def run_stereo_ba_sequence(
     frames_left: Iterable[np.ndarray],
     frames_right: Iterable[np.ndarray],
@@ -228,38 +273,25 @@ def run_stereo_ba_sequence(
 
     vo_cfg = VOConfig(camera=config.camera, frontend=config.frontend,
                       ransac=config.ransac, lm=config.lm)
-    pair_step = jax.jit(lambda a, b, k: vo.vo_step(a, b, k, vo_cfg))
-    key = jax.random.PRNGKey(seed)
     N = config.lm.n_points
 
-    def doubled_image(idx: int) -> np.ndarray:
-        return L[idx // 2] if idx % 2 == 0 else R_imgs[idx // 2]
+    # Doubled-index frame list (2i = L_i, 2i+1 = R_i) — list of references,
+    # no copies.
+    doubled = [img for k in range(F) for img in (L[k], R_imgs[k])]
 
-    # Needed doubled-index pairs across all windows (skip w=0 rig
-    # constraints when frozen — their points never contribute).
+    # Needed doubled-index pairs across all windows. Rig pairs (w=0) are
+    # extracted too: they never enter LM but provide the metric depths for
+    # the scale init below.
     need = set()
     for a in anchors:
         base = 2 * a
         for r, (f0, f1) in enumerate(spec.frame_pairs):
-            # Rig pairs (w=0) are extracted too: they never enter LM but
-            # provide the metric depths for the scale init below.
             gi, gj = base + int(f0), base + int(f1)
             if gj < 2 * F:
                 need.add((gi, gj))
 
-    pair_data = {}
-    for (i, j) in sorted(need):
-        key, sub = jax.random.split(key)
-        res = pair_step(jnp.asarray(doubled_image(i)),
-                        jnp.asarray(doubled_image(j)), sub)
-        sel = np.asarray(res.points_valid)
-        p0 = np.asarray(vo.cam.normalize(res.matches_src, config.camera.K_inv()))
-        p1 = np.asarray(vo.cam.normalize(res.matches_tgt, config.camera.K_inv()))
-        order = np.argsort(~sel)
-        take = order[:N]
-        pair_data[(i, j)] = dict(p=p0[take], p_t=p1[take], mask=sel[take],
-                                 T=np.asarray(res.T),
-                                 p_full=p0, p_t_full=p1, mask_full=sel)
+    pair_data = _extract_pairs(doubled, sorted(need), vo_cfg, seed,
+                               n_points=N)
 
     # --- metric scale init from the calibrated baseline -------------------
     # Mono two-view poses are unit-norm; the rig provides absolute scale:
@@ -402,27 +434,43 @@ def run_ba_sequence(
     vo_cfg = VOConfig(camera=config.camera, frontend=config.frontend,
                       ransac=config.ransac, lm=config.lm)
     # Match extraction for every (global) pair needed by any window.
-    pairs = sorted(
-        {(a + int(p0), a + int(p1)) for a in anchors
-         for p0, p1 in spec.frame_pairs if a + int(p1) < F}
-    )
-    pair_step = jax.jit(
-        lambda a, b, k: vo.vo_step(a, b, k, vo_cfg)
-    )
-    key = jax.random.PRNGKey(seed)
+    need = {(a + int(p0), a + int(p1)) for a in anchors
+            for p0, p1 in spec.frame_pairs if a + int(p1) < F}
+    if gt_poses is None:
+        # No-GT scale chaining needs BACKWARD pairs at every interior
+        # frame b: keypoints of frame b tracked to b-1, giving the same
+        # landmarks as the forward pair (b, b+1) under the previous zeta's
+        # pose (see ba.boundary_scale_ratio). Used both to initialize the
+        # relative zeta scales pre-LM and to chain window gauges post-LM.
+        last = anchors[-1] + ws - 1
+        need |= {(b, b - 1) for b in range(1, min(F - 1, last))}
+    pairs = sorted(need)
+    pair_data = _extract_pairs(frames, pairs, vo_cfg, seed,
+                               n_points=config.lm.n_points)
     N = config.lm.n_points
-    pair_data = {}
-    for (i, j) in pairs:
-        key, sub = jax.random.split(key)
-        res = pair_step(jnp.asarray(frames[i]), jnp.asarray(frames[j]), sub)
-        sel = np.asarray(res.points_valid)
-        p0 = np.asarray(vo.cam.normalize(res.matches_src, config.camera.K_inv()))
-        p1 = np.asarray(vo.cam.normalize(res.matches_tgt, config.camera.K_inv()))
-        order = np.argsort(~sel)
-        take = order[:N]
-        pair_data[(i, j)] = dict(
-            p=p0[take], p_t=p1[take], mask=sel[take], T=np.asarray(res.T),
-        )
+
+    # Pre-LM relative-scale chain (no-GT only): two-view poses are
+    # unit-norm, so the zeta inits carry no relative scale; recover it by
+    # depth-ratio chaining at every interior frame, giving LM a correct
+    # relative-scale basin to polish (the reference's T0 chaining role,
+    # `kitti_ba.cpp:857-870`).
+    n_zeta_total = F - 1
+    c_scale = np.ones(n_zeta_total, np.float32)
+    if gt_poses is None:
+        for b in range(1, n_zeta_total):
+            back = pair_data.get((b, b - 1))
+            fwd = pair_data.get((b, b + 1))
+            prev = pair_data.get((b - 1, b))
+            if back is None or fwd is None or prev is None:
+                c_scale[b] = c_scale[b - 1]
+                continue
+            T_prev = prev["T"].copy()
+            T_prev[:3, 3] *= c_scale[b - 1]
+            c_scale[b] = ba_mod.boundary_scale_ratio(
+                T_prev, fwd["T"],
+                back["p_full"], back["p_t_full"], back["mask_full"],
+                fwd["p_full"], fwd["p_t_full"], fwd["mask_full"],
+            )
 
     # Assemble window tensors.
     W = len(anchors)
@@ -448,7 +496,8 @@ def run_ba_sequence(
         for z in range(spec.n_zeta):
             gi, gj = a + z, a + z + 1
             if (gi, gj) in pair_data:
-                T0s[w, z] = pair_data[(gi, gj)]["T"]
+                T0s[w, z] = pair_data[(gi, gj)]["T"].copy()
+                T0s[w, z, :3, 3] *= c_scale[gi]
 
     out = ba_mod.ba_windows(
         jnp.asarray(T0s), spec, jnp.asarray(p), jnp.asarray(p_t),
@@ -459,10 +508,26 @@ def run_ba_sequence(
     if gt_poses is not None:
         rel = np.linalg.inv(gt_poses[: len(zetas)]) @ gt_poses[1 : len(zetas) + 1]
         scales = np.linalg.norm(rel[:, :3, 3], axis=-1)
+        zetas = np.asarray(
+            ba_mod.propagate_scale(jnp.asarray(zetas), jnp.asarray(scales))
+        )
     else:
-        scales = None
-    zetas = np.asarray(ba_mod.propagate_scale(jnp.asarray(zetas),
-                                              None if scales is None else jnp.asarray(scales)))
+        # No-GT monocular scale (ref scheme `kitti_ba.cpp:853-870,896-903`):
+        # the window LM energy is exactly gauge-free in scale (scaling every
+        # translation in a window leaves all projections unchanged), so |t|
+        # must come from the shared-structure depth-ratio chain computed
+        # above (``c_scale``). That chain deliberately evaluates depths with
+        # each pair's OWN two-view pose — the pose that was fit to those
+        # exact matches — because the closed-form depth is only consistent
+        # when pose and matches agree; plugging LM-refined poses into
+        # another pair's matches measurably degrades the ratios. LM
+        # contributes the rotations and translation directions; c_scale
+        # contributes the magnitudes; the global gauge stays free.
+        zetas = zetas.copy()
+        t = zetas[:, :3, 3]
+        norms = np.linalg.norm(t, axis=-1, keepdims=True)
+        norms = np.where(norms > 1e-12, norms, 1.0)
+        zetas[:, :3, 3] = (t / norms) * c_scale[: zetas.shape[0], None]
     traj = np.asarray(ba_mod.trajectory_from_zetas(jnp.asarray(zetas)))
 
     ate = rpe_t = None

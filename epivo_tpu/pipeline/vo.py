@@ -35,9 +35,20 @@ class VOStepResult(NamedTuple):
     r_norm: jnp.ndarray  # [] LM residual norm
     reverted: jnp.ndarray  # [] bool — LM result rejected, E-pose kept
     points: jnp.ndarray  # [K, 3] triangulated points (source frame)
-    points_valid: jnp.ndarray  # [K] bool
+    points_valid: jnp.ndarray  # [K] bool (tracked & inlier & triangulable)
     matches_src: jnp.ndarray  # [K, 2] pixel coords in source image
     matches_tgt: jnp.ndarray  # [K, 2]
+    inlier_mask: jnp.ndarray  # [K] bool — tracked & epipolar-inlier (no
+    # parallax gate; superset of points_valid, for depth-ratio consumers)
+
+
+def _unit_translation(T: jnp.ndarray) -> jnp.ndarray:
+    """Normalize the pose's translation to unit norm (degenerate zero
+    translation left untouched)."""
+    t = T[..., :3, 3]
+    n = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    safe = jnp.where(n > 1e-12, n, 1.0)
+    return T.at[..., :3, 3].set(t / safe)
 
 
 def _select_top(mask: jnp.ndarray, k: int):
@@ -97,11 +108,15 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
     enough = jnp.sum(sel_valid) >= lc.n_points
     revert = (out.r_norm > lc.revert_r_norm) | ~enough
     T = jnp.where(revert, T_e, out.T0s[0])
+    # Two-view geometry is gauge-free in |t| (the epipolar energy is exactly
+    # invariant to scaling the translation), so LM can drift it arbitrarily;
+    # pin the canonical unit norm (recoverPose convention, `kitti_E.cpp:120`).
+    T = _unit_translation(T)
 
     # Triangulate the tracked inliers for the cloud (ref `kitti_E.cpp:235-254`).
     R, t = se3.matrix_to_rt(T)
     pts, pts_valid = epipolar.triangulate(R, t, p0, p1)
-    pts_valid = pts_valid & flow.status & rres.inliers
+    track_inl = flow.status & rres.inliers
 
     return VOStepResult(
         T=T,
@@ -110,9 +125,10 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
         r_norm=out.r_norm,
         reverted=revert,
         points=pts,
-        points_valid=pts_valid,
+        points_valid=pts_valid & track_inl,
         matches_src=kp.xy,
         matches_tgt=flow.xy,
+        inlier_mask=track_inl,
     )
 
 
@@ -175,10 +191,11 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
     enough = jnp.sum(sel_valid) >= lc.n_points
     revert = (out.r_norm > lc.revert_r_norm) | ~enough | too_few
     T = jnp.where(revert, T_e, out.T0s[0])
+    T = _unit_translation(T)
 
     R, t = se3.matrix_to_rt(T)
     pts, pts_valid = epipolar.triangulate(R, t, p0, p1)
-    pts_valid = pts_valid & status & rres.inliers
+    track_inl = status & rres.inliers
 
     return VOStepResult(
         T=T,
@@ -187,9 +204,10 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
         r_norm=out.r_norm,
         reverted=revert,
         points=pts,
-        points_valid=pts_valid,
+        points_valid=pts_valid & track_inl,
         matches_src=kp0.xy,
         matches_tgt=tgt_xy,
+        inlier_mask=track_inl,
     )
 
 

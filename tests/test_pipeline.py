@@ -205,7 +205,7 @@ def test_propagate_scale():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out[:, :3, 3]), axis=-1), [1.5, 0.5], rtol=1e-5
     )
-    unit = ba.propagate_scale(zetas)
-    np.testing.assert_allclose(
-        np.linalg.norm(np.asarray(unit[:, :3, 3]), axis=-1), [1.0, 1.0], rtol=1e-5
-    )
+    # scales=None is the identity: LM-recovered relative scales must
+    # survive (VERDICT r1: unit-normalizing every zeta was a regression).
+    ident = ba.propagate_scale(zetas)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(zetas))
