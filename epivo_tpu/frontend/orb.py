@@ -107,16 +107,21 @@ def detect_and_describe_pyramid(
 ):
     """Multi-scale ORB: FAST on a scale pyramid + oriented BRIEF.
 
-    Matches the reference ORB configuration (10000 features, scale 1.2,
-    8 levels, `kitti_ba.cpp:128`) with a fixed total budget: each level
-    gets a budget proportional to its area; detections are mapped back to
-    level-0 pixel coordinates. Returns (Keypoints, Descriptors) with
-    keypoint scale stored in Keypoints.score sign... no — scale is returned
-    separately as [K] level indices.
+    The reference's ORB configuration (10000 features, scale 1.2, 8 levels,
+    FAST_SCORE — `kitti_ba.cpp:128`) with a fixed total budget: each level
+    gets a keypoint budget proportional to its image area, detection and
+    description run on the downscaled level (that is what buys scale
+    invariance), and keypoint coordinates are mapped back to level-0
+    pixels. Shapes are static for a fixed (image size, budget, levels)
+    tuple — the level loop is a Python loop over static shapes, traced
+    once under jit.
+
+    Returns ``(Keypoints, Descriptors, levels)``: keypoints in level-0
+    coordinates with FAST scores; full descriptors (signs, packed bits,
+    orientation angles); and ``levels`` [K] int32 pyramid-level indices.
     """
     from epivo_tpu.frontend import fast as fast_mod, image as imops
 
-    H, W = img.shape
     # Per-level budgets proportional to area (geometric series).
     areas = [scale_factor ** (-2 * l) for l in range(n_levels)]
     total = sum(areas)
@@ -124,7 +129,8 @@ def detect_and_describe_pyramid(
     # Adjust to exactly max_keypoints.
     budgets[0] += max_keypoints - sum(budgets)
 
-    xs, scores, valids, levels, sign_list = [], [], [], [], []
+    xs, scores, valids, levels = [], [], [], []
+    sign_list, packed_list, angle_list = [], [], []
     cur = img
     cur_scale = 1.0
     for l in range(n_levels):
@@ -138,6 +144,8 @@ def detect_and_describe_pyramid(
             valids.append(kp.valid & d.valid)
             levels.append(jnp.full(kp.xy.shape[0], l, jnp.int32))
             sign_list.append(d.signs)
+            packed_list.append(d.packed)
+            angle_list.append(d.angle)
         if l < n_levels - 1:
             # 1.2x downscale via blur + bilinear resize (area-preserving).
             nh = max(int(round(cur.shape[0] / scale_factor)), 1)
@@ -158,8 +166,8 @@ def detect_and_describe_pyramid(
     )
     descs = Descriptors(
         signs=jnp.concatenate(sign_list),
-        packed=jnp.zeros((kps.xy.shape[0], 8), jnp.uint32),
-        angle=jnp.zeros(kps.xy.shape[0]),
+        packed=jnp.concatenate(packed_list),
+        angle=jnp.concatenate(angle_list),
         valid=kps.valid,
     )
     return kps, descs, jnp.concatenate(levels)

@@ -23,6 +23,13 @@ class FrontendConfig:
     # pay full cost, and accuracy is flat beyond ~10 (see BENCH notes).
     klt_iters: int = 12
     klt_min_eig: float = 1e-4
+    # ORB path (vo_step_orb). Pyramid mode reaches the reference's
+    # multi-scale regime (`kitti_ba.cpp:128`: 10000 features, scale 1.2,
+    # 8 levels) — set max_keypoints=10000, orb_pyramid=True for parity;
+    # defaults keep the cheap single-scale path.
+    orb_pyramid: bool = False
+    orb_levels: int = 8
+    orb_scale_factor: float = 1.2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -237,7 +237,8 @@ def _unpack_pairs(state: dict) -> dict:
 
 
 def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
-                   n_points: int, batch: int = 8, ckpt=None) -> dict:
+                   n_points: int, batch: int = 8, ckpt=None,
+                   use_orb: bool = False) -> dict:
     """Two-view match extraction for arbitrary (i, j) frame pairs, batched.
 
     One jitted vmapped dispatch per ``batch`` pairs (the reference's
@@ -261,7 +262,10 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
         if restored is not None:
             out = _unpack_pairs(restored[1])
     todo = [pr for pr in pairs if pr not in out]
-    step = jax.jit(jax.vmap(lambda a, b, k: vo.vo_step(a, b, k, vo_cfg)))
+    # ORB descriptor matching instead of KLT (the reference's
+    # `really_robust_ass` window path, `kitti_ba.cpp:584-754`).
+    step_one = vo.vo_step_orb if use_orb else vo.vo_step
+    step = jax.jit(jax.vmap(lambda a, b, k: step_one(a, b, k, vo_cfg)))
     key = jax.random.PRNGKey(seed + len(out))
     K_inv = vo_cfg.camera.K_inv()
     for c0 in range(0, len(todo), batch):
@@ -474,8 +478,13 @@ def run_ba_sequence(
     seed: int = 0,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 64,
+    use_orb: bool = False,
 ) -> SequenceResult:
     """Windowed mono BA over a frame sequence (ref `kitti_ba` mono path).
+
+    ``use_orb`` switches pair initialization from KLT tracking to ORB
+    descriptor matching — the reference's `really_robust_ass` window
+    orchestrator (`kitti_ba.cpp:584-754`).
 
     Stage 1 (this function, two-view): per window, constraints for the
     frame pairs in ``ba.mono_window_spec`` are initialized with the VO step
@@ -512,7 +521,8 @@ def run_ba_sequence(
         ckpt = ckpt_mod.SequenceCheckpointer(checkpoint_dir,
                                              every=checkpoint_every)
     pair_data = _extract_pairs(frames, pairs, vo_cfg, seed,
-                               n_points=config.lm.n_points, ckpt=ckpt)
+                               n_points=config.lm.n_points, ckpt=ckpt,
+                               use_orb=use_orb)
     N = config.lm.n_points
 
     # Pre-LM relative-scale chain (no-GT only): two-view poses are

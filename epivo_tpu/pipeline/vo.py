@@ -149,10 +149,21 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
     fc, rc, lc = config.frontend, config.ransac, config.lm
     K_inv = config.camera.K_inv(img0.dtype)
 
-    kp0 = fast.detect(img0, fc.fast_threshold, fc.max_keypoints)
-    kp1 = fast.detect(img1, fc.fast_threshold, fc.max_keypoints)
-    d0 = orb.describe(img0, kp0.xy, kp0.valid)
-    d1 = orb.describe(img1, kp1.xy, kp1.valid)
+    if fc.orb_pyramid:
+        # Multi-scale path (ref regime `kitti_ba.cpp:128`): detection and
+        # description per pyramid level — survives zoom/scale change that
+        # kills the single-scale descriptors.
+        kp0, d0, _ = orb.detect_and_describe_pyramid(
+            img0, fc.fast_threshold, fc.max_keypoints,
+            n_levels=fc.orb_levels, scale_factor=fc.orb_scale_factor)
+        kp1, d1, _ = orb.detect_and_describe_pyramid(
+            img1, fc.fast_threshold, fc.max_keypoints,
+            n_levels=fc.orb_levels, scale_factor=fc.orb_scale_factor)
+    else:
+        kp0 = fast.detect(img0, fc.fast_threshold, fc.max_keypoints)
+        kp1 = fast.detect(img1, fc.fast_threshold, fc.max_keypoints)
+        d0 = orb.describe(img0, kp0.xy, kp0.valid)
+        d1 = orb.describe(img1, kp1.xy, kp1.valid)
     m = match_mod.match(d0.signs, d1.signs, valid1=kp0.valid,
                         valid2=kp1.valid, max_dist=64.0)
     # Matched target coordinates per source keypoint (invalid lanes get a

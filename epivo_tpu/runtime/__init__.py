@@ -38,6 +38,12 @@ def _load():
     lib.epivo_loader_next.restype = ctypes.c_void_p
     lib.epivo_loader_next.argtypes = [ctypes.c_void_p]
     lib.epivo_loader_close.argtypes = [ctypes.c_void_p]
+    lib.epivo_lm_refine_pose.restype = ctypes.c_int
+    lib.epivo_lm_refine_pose.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double,
+    ]
     _lib = lib
     return lib
 
@@ -67,6 +73,29 @@ def decode_png(path: str) -> np.ndarray:
         return np.array(buf, dtype=np.float32)  # copy out before free
     finally:
         lib.epivo_frame_free(h)
+
+
+def lm_refine_pose(T: np.ndarray, p: np.ndarray, p_t: np.ndarray,
+                   lambda0: float = 1e-2, max_iters: int = 30,
+                   huber_delta: float = 1e-5,
+                   epsilon: float = 1e-8) -> tuple[np.ndarray, int]:
+    """Native single-pose LM refine (the reference's `kitti_E.cpp:196` step,
+    implemented in `lm_ref.cpp`). Used by the benchmark baseline so the
+    comparison pays native cost for the optimizer, and testable against
+    the JAX solver. T [4,4]; p, p_t [N,3] normalized matches.
+    Returns (refined T, accepted step count)."""
+    lib = _load()
+    T64 = np.ascontiguousarray(T, np.float64).copy()
+    p64 = np.ascontiguousarray(p, np.float64)
+    pt64 = np.ascontiguousarray(p_t, np.float64)
+    n = int(p64.shape[0])
+    dptr = ctypes.POINTER(ctypes.c_double)
+    acc = lib.epivo_lm_refine_pose(
+        T64.ctypes.data_as(dptr), p64.ctypes.data_as(dptr),
+        pt64.ctypes.data_as(dptr), n, float(lambda0), int(max_iters),
+        float(huber_delta), float(epsilon),
+    )
+    return T64, int(acc)
 
 
 class NativeLoader:

@@ -2,5 +2,5 @@
 # Build the native runtime shared library.
 set -e
 cd "$(dirname "$0")"
-g++ -O2 -fPIC -shared -std=c++17 -Wall loader.cpp -o libepivo_runtime.so -lpng -lpthread
+g++ -O2 -fPIC -shared -std=c++17 -Wall loader.cpp lm_ref.cpp -o libepivo_runtime.so -lpng -lpthread
 echo "built $(pwd)/libepivo_runtime.so"

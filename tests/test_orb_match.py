@@ -183,6 +183,57 @@ def test_vo_step_orb_too_few_matches():
     np.testing.assert_allclose(np.asarray(res.T[:3, :3]), np.eye(3), atol=1e-6)
 
 
+def test_pyramid_orb_survives_zoom_and_roll():
+    """Track across a 1.5x zoom + 30 deg roll: the pyramid descriptors must
+    find geometrically-correct matches where single-scale ORB collapses
+    (the reference's multi-scale regime, `kitti_ba.cpp:128`)."""
+    from scipy.ndimage import affine_transform
+
+    H, W = 200, 260
+    img_np = np.asarray(textured_image(H=H, W=W, n_blobs=90, seed=5))
+    s, th = 1.5, np.deg2rad(30.0)
+    c_yx = np.array([(H - 1) / 2.0, (W - 1) / 2.0])
+    # Rotation by th in xy convention, expressed on (y, x) vectors.
+    M_yx = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+    A = np.linalg.inv(s * M_yx)  # output -> input mapping
+    img2_np = affine_transform(img_np, A, offset=c_yx - A @ c_yx, order=3)
+    img, img2 = jnp.asarray(img_np), jnp.asarray(img2_np.astype(np.float32))
+
+    def forward_xy(xy):
+        # xy [N, 2] in (x, y); w2 = s M_yx (w1 - c) + c on (y, x).
+        w1 = xy[:, ::-1] - c_yx
+        w2 = (s * M_yx @ w1.T).T + c_yx
+        return w2[:, ::-1]
+
+    def correct_matches(kp0, d0, kp1, d1):
+        res = match.match(d0.signs, d1.signs, valid1=kp0.valid,
+                          valid2=kp1.valid, max_dist=70.0)
+        idx = np.asarray(res.idx)
+        ok = np.asarray(res.valid)
+        src = np.asarray(kp0.xy)
+        tgt = np.asarray(kp1.xy)
+        pred = forward_xy(src)
+        inb = (pred[:, 0] > 5) & (pred[:, 0] < W - 5) & (pred[:, 1] > 5) \
+            & (pred[:, 1] < H - 5)
+        good = 0
+        for i in np.flatnonzero(ok & inb):
+            if np.linalg.norm(tgt[idx[i]] - pred[i]) < 4.0:
+                good += 1
+        return good
+
+    kp0 = fast.detect(img, 15.0, 256)
+    kp1 = fast.detect(img2, 15.0, 256)
+    single = correct_matches(kp0, orb.describe(img, kp0.xy, kp0.valid),
+                             kp1, orb.describe(img2, kp1.xy, kp1.valid))
+
+    p0 = orb.detect_and_describe_pyramid(img, 15.0, 256, n_levels=8)
+    p1 = orb.detect_and_describe_pyramid(img2, 15.0, 256, n_levels=8)
+    pyr = correct_matches(p0[0], p0[1], p1[0], p1[1])
+
+    assert pyr >= 12, (pyr, single)
+    assert pyr >= 2 * max(single, 1), (pyr, single)
+
+
 def test_pyramid_orb_detection():
     img = textured_image(H=200, W=260, n_blobs=80)
     kps, descs, levels = orb.detect_and_describe_pyramid(

@@ -76,6 +76,21 @@ def test_run_ba_sequence():
     assert res.ate is not None and res.ate < 0.15, res.ate
 
 
+def test_run_ba_sequence_orb():
+    """ORB-matched windowed BA (the reference's really_robust_ass window
+    orchestrator, `kitti_ba.cpp:584-754`) recovers the trajectory."""
+    frames, gt = make_sequence(F=5)
+    cfg = BAConfig(
+        camera=CAM,
+        frontend=VO_CFG.frontend,
+        ransac=VO_CFG.ransac,
+        lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+    )
+    res = runners.run_ba_sequence(frames, cfg, gt_poses=gt, use_orb=True)
+    assert res.trajectory.shape[0] >= 4
+    assert res.ate is not None and res.ate < 0.3, res.ate
+
+
 def make_varying_sequence(F=7, seed=0):
     """Rendered sequence whose per-step translation magnitudes VARY —
     the fixture for no-GT scale recovery (a constant-speed sequence would

@@ -68,6 +68,43 @@ def test_loader_more_workers_than_frames(built, tmp_path):
     assert len(frames) == 2
 
 
+def test_native_lm_recovers_pose(built):
+    """The native LM (benchmark-baseline kernel) recovers a perturbed pose
+    on exact synthetic matches, and agrees with the JAX solver."""
+    import jax
+    import jax.numpy as jnp
+
+    from epivo_tpu.datasets import synthetic
+    from epivo_tpu.geometry import se3
+    from epivo_tpu.optim import lm
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    T_gt = synthetic.random_pose(k1)
+    _, p, p_t = synthetic.gen_points(k2, 48, T_gt)
+    T0 = synthetic.perturb_pose(k3, T_gt, rot_noise=0.03, t_noise=0.05)
+
+    # huber_delta=1.0 — the reference's synthetic-test regime
+    # (`test_jac_Rt_gen.cpp:16`); the 1e-5 regime crushes gradients by
+    # design and stalls any LM on this problem (JAX solver included).
+    T_ref, acc = runtime.lm_refine_pose(np.asarray(T0), np.asarray(p),
+                                        np.asarray(p_t), max_iters=30,
+                                        huber_delta=1.0)
+    assert acc > 0
+    # Up-to-scale comparison: translation direction + rotation.
+    R_err = np.linalg.norm(T_ref[:3, :3] - np.asarray(T_gt)[:3, :3])
+    td = T_ref[:3, 3] / np.linalg.norm(T_ref[:3, 3])
+    gd = np.asarray(T_gt)[:3, 3] / np.linalg.norm(np.asarray(T_gt)[:3, 3])
+    assert R_err < 5e-3, R_err
+    assert np.dot(td, gd) > 0.999, (td, gd)
+
+    out = lm.solve(jnp.asarray(T0)[None], jnp.zeros((1, 2), jnp.int32),
+                   p[None], p_t[None], max_iters=30, huber_delta=1.0)
+    T_jax = np.asarray(out.T0s[0])
+    R_err_j = np.linalg.norm(T_jax[:3, :3] - T_ref[:3, :3])
+    assert R_err_j < 5e-3, R_err_j
+
+
 def test_loader_feeds_vo_runner(built, tmp_path):
     """The native stream plugs directly into the sequence runner API."""
     paths, _ = make_pngs(tmp_path, n=3, H=64, W=80)
