@@ -37,6 +37,21 @@ EUROC_T_BS = np.array(
         [0.0, 0.0, 0.0, 1.0],
     ]
 )
+# EuRoC cam1 calibration + extrinsic (mav0/cam1/sensor.yaml; the reference
+# only ever ingests cam0 — full stereo rectification is a parity extension,
+# matching the rectify-maps role of `euroc.cpp:104-111`).
+EUROC_CAM1_K = np.array(
+    [[457.587, 0.0, 379.999], [0.0, 456.134, 255.238], [0.0, 0.0, 1.0]]
+)
+EUROC_CAM1_DIST = np.array([-0.28368365, 0.07451284, -0.00010473, -3.555907e-05])
+EUROC_T_BS_CAM1 = np.array(
+    [
+        [0.0125552670891, -0.999755099723, 0.0182237714554, -0.0198435579556],
+        [0.999598781151, 0.0130119051815, 0.0251588363115, 0.0453689425024],
+        [-0.0253898008918, 0.0179005838253, 0.999517347078, 0.00786212447038],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
 
 
 def quat_to_R(qw, qx, qy, qz) -> np.ndarray:
@@ -52,20 +67,31 @@ def quat_to_R(qw, qx, qy, qz) -> np.ndarray:
     )
 
 
-def undistort_map(K: np.ndarray, dist: np.ndarray, shape, K_new: np.ndarray | None = None):
-    """Remap grids (map_x, map_y) for radial-tangential undistortion.
+def undistort_map(K: np.ndarray, dist: np.ndarray, shape,
+                  K_new: np.ndarray | None = None,
+                  R: np.ndarray | None = None):
+    """Remap grids (map_x, map_y) for radial-tangential undistortion with an
+    optional rectifying rotation.
 
     Equivalent to cv::initUndistortRectifyMap (ref `euroc.cpp:104-111`):
     for each destination pixel, the source position in the distorted image.
+    ``R`` maps rays of the NEW (rectified) camera frame back into the
+    ORIGINAL camera frame (pass Rrect.T from :func:`stereo_rectify`).
     """
     H, W = shape
     K_new = K if K_new is None else K_new
     k1, k2, p1, p2 = dist[:4]
     yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
                          np.arange(W, dtype=np.float64), indexing="ij")
-    # normalized coords in the new (undistorted) camera
+    # normalized coords in the new (undistorted/rectified) camera
     x = (xx - K_new[0, 2]) / K_new[0, 0]
     y = (yy - K_new[1, 2]) / K_new[1, 1]
+    if R is not None:
+        X = R[0, 0] * x + R[0, 1] * y + R[0, 2]
+        Y = R[1, 0] * x + R[1, 1] * y + R[1, 2]
+        Z = R[2, 0] * x + R[2, 1] * y + R[2, 2]
+        x = X / Z
+        y = Y / Z
     r2 = x * x + y * y
     radial = 1.0 + k1 * r2 + k2 * r2 * r2
     x_d = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
@@ -95,6 +121,80 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray) -> np.ndarray:
     oob = (map_x < 0) | (map_x > W - 1) | (map_y < 0) | (map_y > H - 1)
     out[oob] = 0.0
     return out.astype(np.float32)
+
+
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle vector (host-side, numpy)."""
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(c)
+    if th < 1e-12:
+        return np.zeros(3)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return w * th / (2.0 * np.sin(th))
+
+
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def stereo_rectify(K0, dist0, T_BS0, K1, dist1, T_BS1, shape,
+                   K_new: np.ndarray | None = None):
+    """Full stereo rectification from the two camera extrinsics.
+
+    Bouguet's construction, implemented from the math (the reference builds
+    equivalent maps with cv::initUndistortRectifyMap, `euroc.cpp:104-111`,
+    but only for cam0): split the inter-camera rotation evenly between the
+    two cameras, then rotate both so the baseline lies exactly along -x
+    (matching the KITTI rig convention used by the stereo BA runner:
+    T_rig[0,3] = -baseline, X_R = X_L - b).
+
+    Args:
+      K0/dist0/T_BS0: cam0 intrinsics, radtan distortion, sensor->body.
+      K1/dist1/T_BS1: same for cam1.
+      shape: (H, W) image shape.
+      K_new: target pinhole (default: cam0's K).
+
+    Returns:
+      (maps0, maps1, K_new, T_rig, Rrect0): per-camera (map_x, map_y)
+      remap grids, the shared rectified intrinsics, the rectified L->R rig
+      transform (pure -x baseline), and cam0's rectifying rotation (for
+      mapping GT poses into the rectified frame).
+    """
+    K_new = np.asarray(K0, np.float64) if K_new is None else K_new
+    # cam0 -> cam1: p_C1 = T_rel p_C0, T_rel = T_BS1^-1 @ T_BS0.
+    T_rel = np.linalg.inv(T_BS1) @ T_BS0
+    R_rel, t_rel = T_rel[:3, :3], T_rel[:3, 3]
+
+    # Split the relative rotation: cam0 rotated forward by half, cam1
+    # backward by half — R_half^2 = R_rel.
+    R_half = _so3_exp(_so3_log(R_rel) / 2.0)
+    R0_pre = R_half          # applied to cam0 rays
+    R1_pre = np.linalg.inv(R_half)  # applied to cam1 rays
+    t_mid = R1_pre @ t_rel   # baseline expressed mid-frame
+
+    # Row-alignment rotation: new x-axis along -t (so the rectified rig
+    # translation is (-b, 0, 0)), y chosen orthogonal near the old y.
+    e1 = -t_mid / np.linalg.norm(t_mid)
+    k = np.array([0.0, 0.0, 1.0])
+    e2 = np.cross(k, e1)
+    e2 = e2 / np.linalg.norm(e2)
+    e3 = np.cross(e1, e2)
+    R_row = np.stack([e1, e2, e3])
+
+    Rrect0 = R_row @ R0_pre
+    Rrect1 = R_row @ R1_pre
+    b = float(np.linalg.norm(t_mid))
+    T_rig = np.eye(4)
+    T_rig[0, 3] = -b
+
+    maps0 = undistort_map(K0, dist0, shape, K_new=K_new, R=Rrect0.T)
+    maps1 = undistort_map(K1, dist1, shape, K_new=K_new, R=Rrect1.T)
+    return maps0, maps1, K_new, T_rig, Rrect0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +271,32 @@ class EurocSequence:
             if maps is None:
                 maps = undistort_map(EUROC_CAM0_K, EUROC_CAM0_DIST, img.shape)
             yield ts, remap(img, *maps)
+
+    def stereo_rectification(self, shape):
+        """Rectify maps + rectified rig for this sequence's cam0/cam1."""
+        return stereo_rectify(EUROC_CAM0_K, EUROC_CAM0_DIST, EUROC_T_BS,
+                              EUROC_CAM1_K, EUROC_CAM1_DIST, EUROC_T_BS_CAM1,
+                              shape)
+
+    def rectified_stereo_frames(self, start: int = 0, stop: int | None = None):
+        """Yield (timestamp, rectified_cam0, rectified_cam1) triples for
+        timestamp-matched stereo pairs (EuRoC cameras are hardware-synced;
+        pairs are matched exactly by timestamp). The full-rectification
+        counterpart of the reference's cam0-only maps (`euroc.cpp:104-111`).
+        """
+        cam1 = dataclasses.replace(self, cam="cam1")
+        l0 = self.image_list()
+        ts1_map = dict(cam1.image_list())
+        picked = [(ts, fn, ts1_map[ts]) for ts, fn in l0 if ts in ts1_map]
+        picked = picked[start:stop]
+        maps = None
+        for ts, fn0, fn1 in picked:
+            img0 = self.load_image(fn0)
+            img1 = cam1.load_image(fn1)
+            if maps is None:
+                m0, m1, _, _, _ = self.stereo_rectification(img0.shape)
+                maps = (m0, m1)
+            yield ts, remap(img0, *maps[0]), remap(img1, *maps[1])
 
 
 def associate(ts_query: np.ndarray, ts_ref: np.ndarray, tol_ns: int = 5_000_000):

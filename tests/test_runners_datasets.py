@@ -267,6 +267,157 @@ def test_undistort_roundtrip_zero_dist():
     np.testing.assert_allclose(out, img, atol=1e-3)
 
 
+def test_stereo_rectify_row_alignment():
+    """Rectified projections of any world point land on the SAME row in
+    both cameras, and the rectified rig is a pure -x baseline (the full
+    stereo counterpart of the reference's cam0 maps, `euroc.cpp:104-111`)."""
+    rng = np.random.default_rng(3)
+    K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1.0]])
+    # cam0 = body; cam1 rotated ~2 deg and offset by an 11 cm-ish baseline.
+    th = np.deg2rad(2.0)
+    R_mis = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]]) @ np.array(
+        [[1, 0, 0], [0, np.cos(th / 2), -np.sin(th / 2)],
+         [0, np.sin(th / 2), np.cos(th / 2)]])
+    T_BS1 = np.eye(4)
+    T_BS1[:3, :3] = R_mis
+    T_BS1[:3, 3] = [0.11, 0.002, -0.001]
+    maps0, maps1, K_new, T_rig, Rrect0 = euroc.stereo_rectify(
+        K, np.zeros(4), np.eye(4), K, np.zeros(4), T_BS1, (120, 160))
+
+    # Pure baseline rig in the KITTI convention.
+    assert T_rig[0, 3] < 0
+    np.testing.assert_allclose(T_rig[:3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(T_rig[1:3, 3], 0, atol=1e-12)
+
+    T_rel = np.linalg.inv(T_BS1)  # cam0 -> cam1 (T_BS0 = I)
+    Rrect1 = Rrect0 @ T_rel[:3, :3].T
+    X = rng.uniform([-2, -2, 4], [2, 2, 12], size=(50, 3))  # body frame
+    p0 = (Rrect0 @ X.T).T
+    X1 = (T_rel[:3, :3] @ X.T).T + T_rel[:3, 3]
+    p1 = (Rrect1 @ X1.T).T
+    u0 = (p0 / p0[:, 2:]) @ K_new.T
+    u1 = (p1 / p1[:, 2:]) @ K_new.T
+    np.testing.assert_allclose(u0[:, 1], u1[:, 1], atol=1e-9)  # same rows
+    # Disparity consistent with depth: u0_x - u1_x = fx * b / z.
+    b = -T_rig[0, 3]
+    np.testing.assert_allclose(u0[:, 0] - u1[:, 0],
+                               K_new[0, 0] * b / p0[:, 2], rtol=1e-9)
+
+
+def test_stereo_rectify_remap_matches_direct_render():
+    """Remapping a misaligned camera's image with our rectify maps equals
+    rendering directly from the rectified camera (interior pixels)."""
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, (120,), minval=5.0, maxval=14.0)
+    xy = jax.random.uniform(k2, (120, 2), minval=-0.6, maxval=0.6) * z[:, None]
+    X = np.asarray(jnp.concatenate([xy, z[:, None]], axis=-1))  # body frame
+    K = np.asarray(CAM.K(), np.float64)
+    th = np.deg2rad(1.5)
+    R_mis = np.array([[1, 0, 0], [0, np.cos(th), -np.sin(th)],
+                      [0, np.sin(th), np.cos(th)]])
+    T_BS1 = np.eye(4)
+    T_BS1[:3, :3] = R_mis
+    T_BS1[:3, 3] = [0.3, 0.01, 0.0]
+    H, W = 120, 160
+    maps0, maps1, K_new, T_rig, Rrect0 = euroc.stereo_rectify(
+        K, np.zeros(4), np.eye(4), K, np.zeros(4), T_BS1, (H, W))
+    T_rel = np.linalg.inv(T_BS1)
+    Rrect1 = Rrect0 @ T_rel[:3, :3].T
+
+    def pose(Rc, tc):
+        T = np.eye(4)
+        T[:3, :3] = Rc
+        T[:3, 3] = tc
+        return jnp.asarray(T.astype(np.float32))
+
+    # Smooth blobs (sigma=3): isolates geometric map error from bilinear
+    # interpolation error, which scales with image curvature.
+    img0 = np.asarray(render(jnp.asarray(X), jnp.asarray(K),
+                             pose(np.eye(3), np.zeros(3)), H, W, sigma=3.0))
+    img1 = np.asarray(render(jnp.asarray(X), jnp.asarray(K),
+                             pose(T_rel[:3, :3], T_rel[:3, 3]), H, W,
+                             sigma=3.0))
+    # Rectified views rendered directly.
+    rect0_direct = np.asarray(render(jnp.asarray(X), jnp.asarray(K_new),
+                                     pose(Rrect0, np.zeros(3)), H, W,
+                                     sigma=3.0))
+    rect1_direct = np.asarray(render(
+        jnp.asarray(X), jnp.asarray(K_new),
+        pose(Rrect1 @ T_rel[:3, :3], Rrect1 @ T_rel[:3, 3]), H, W,
+        sigma=3.0))
+
+    rect0 = euroc.remap(img0, *maps0)
+    rect1 = euroc.remap(img1, *maps1)
+    # Interior only: the rectified view's edge pixels can map outside the
+    # original field of view (remap fills 0 there, a real-data effect too).
+    interior = np.s_[12:-12, 12:-12]
+    # Thresholds detect plumbing errors (an x/y swap or off-by-one in the
+    # maps shifts whole blobs -> errors ~100+); the small residual is blob
+    # shape deformation under the homography + bilinear interpolation,
+    # which the exact geometric test above already excludes as map error.
+    for rect, direct in ((rect0, rect0_direct), (rect1, rect1_direct)):
+        err = np.abs(rect[interior] - direct[interior])
+        assert np.quantile(err, 0.999) < 20.0, np.quantile(err, 0.999)
+        assert err.mean() < 1.5, err.mean()
+
+
+def test_euroc_style_rectified_stereo_ba():
+    """End-to-end: misaligned stereo rig -> our rectification -> stereo BA
+    recovers METRIC scale (the EuRoC stereo path the reference lacks)."""
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, (140,), minval=6.0, maxval=18.0)
+    xy = jax.random.uniform(k2, (140, 2), minval=-0.7, maxval=0.7) * z[:, None]
+    X = np.asarray(jnp.concatenate([xy, z[:, None]], axis=-1))
+    K = np.asarray(CAM.K(), np.float64)
+    H, W = 120, 160
+    th = np.deg2rad(1.0)
+    R_mis = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]])
+    T_BS1 = np.eye(4)
+    T_BS1[:3, :3] = R_mis
+    T_BS1[:3, 3] = [0.5, 0.0, 0.0]
+    maps0, maps1, K_new, T_rig, Rrect0 = euroc.stereo_rectify(
+        K, np.zeros(4), np.eye(4), K, np.zeros(4), T_BS1, (H, W))
+    T_rel = np.linalg.inv(T_BS1)
+
+    step = np.asarray(se3.se3_exp(jnp.array([0.02, -0.01, 0.35, 0.006,
+                                             -0.01, 0.004])))
+    L, R_imgs, gt = [], [], []
+    T_wb = np.eye(4)
+    for f in range(4):
+        T_bw = np.linalg.inv(T_wb)
+        img0 = np.asarray(render(jnp.asarray(X), jnp.asarray(K),
+                                 jnp.asarray(T_bw.astype(np.float32)), H, W))
+        img1 = np.asarray(render(jnp.asarray(X), jnp.asarray(K),
+                                 jnp.asarray((T_rel @ T_bw).astype(np.float32)),
+                                 H, W))
+        L.append(euroc.remap(img0, *maps0))
+        R_imgs.append(euroc.remap(img1, *maps1))
+        # GT pose of the RECTIFIED cam0 frame: world-from-cam0' with
+        # p_C0 = Rrect0^T p_C0'.
+        Text = np.eye(4)
+        Text[:3, :3] = Rrect0.T
+        gt.append(T_wb @ Text)
+        T_wb = T_wb @ np.linalg.inv(step)
+    gt = np.stack(gt)
+
+    cfg = BAConfig(
+        camera=CAM,
+        frontend=VO_CFG.frontend,
+        ransac=VO_CFG.ransac,
+        lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+    )
+    res = runners.run_stereo_ba_sequence(L, R_imgs, cfg, T_rig=T_rig,
+                                         gt_poses=gt)
+    d = np.linalg.norm(np.diff(res.trajectory[:, :3, 3], axis=0), axis=-1)
+    gt_d = np.linalg.norm(np.diff(res.gt_trajectory[:, :3, 3], axis=0), axis=-1)
+    np.testing.assert_allclose(d, gt_d, rtol=0.3)  # metric scale, no GT fed
+    assert res.ate is not None and res.ate < 0.25, res.ate
+
+
 def make_stereo_sequence(F=4, seed=0, baseline=0.5):
     """Rendered stereo L/R sequences with GT left-camera poses."""
     key = jax.random.PRNGKey(seed)
