@@ -471,6 +471,57 @@ def run_stereo_ba_sequence(
     )
 
 
+def run_gt_triangulation_sequence(
+    frames: Iterable[np.ndarray],
+    config: VOConfig,
+    gt_poses: np.ndarray,
+    seed: int = 0,
+) -> SequenceResult:
+    """GT-motion triangulation sanity driver (ref `kitti.cpp:39-188`, C25).
+
+    No pose estimation is trusted: the frontend supplies matches, but the
+    relative motion comes from GT, and the cloud is triangulated against
+    it — the 'validate triangulation before trusting estimated motion'
+    tool. The trajectory returned IS the GT trajectory.
+    """
+    frames = [np.asarray(f, np.float32) for f in frames]
+    F = min(len(frames), len(gt_poses))
+    pairs = [(i, i + 1) for i in range(F - 1)]
+    pair_data = _extract_pairs(frames, pairs, config, seed,
+                               n_points=config.lm.n_points)
+
+    from epivo_tpu.geometry import epipolar as _epi
+
+    gt = np.asarray(gt_poses[:F])
+    gt = np.linalg.inv(gt[0])[None] @ gt  # start at identity
+    clouds, limits = [], []
+    total = 0
+    for i, j in pairs:
+        d = pair_data[(i, j)]
+        T_zeta = np.linalg.inv(gt[j]) @ gt[i]  # source cam i -> cam j
+        X, ok = _epi.triangulate(
+            jnp.asarray(T_zeta[:3, :3].astype(np.float32)),
+            jnp.asarray(T_zeta[:3, 3].astype(np.float32)),
+            jnp.asarray(d["p_full"]), jnp.asarray(d["p_t_full"]),
+        )
+        keep = np.asarray(ok) & d["mask_full"]
+        Xw = np.asarray(X)[keep] @ gt[i][:3, :3].T + gt[i][:3, 3]
+        clouds.append(Xw)
+        limits.append(total)
+        total += int(keep.sum())
+
+    cloud = np.concatenate(clouds) if clouds else np.zeros((0, 3))
+    return SequenceResult(
+        trajectory=gt,
+        gt_trajectory=gt,
+        ate=0.0,
+        rpe_t=0.0,
+        cloud=cloud,
+        cloud_limits=np.asarray(limits, np.int64),
+        per_frame={"n_points": np.asarray([len(c) for c in clouds])},
+    )
+
+
 def run_ba_sequence(
     frames: Iterable[np.ndarray],
     config: BAConfig,

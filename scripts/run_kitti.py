@@ -25,7 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="KITTI odometry root")
     ap.add_argument("--seq", default="00")
-    ap.add_argument("--mode", choices=["vo", "ba", "stereo"], default="vo")
+    ap.add_argument("--mode", choices=["vo", "ba", "stereo", "gt"],
+                    default="vo")
     ap.add_argument("--frames", type=int, default=None, help="limit frames")
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8)
@@ -88,6 +89,15 @@ def main():
             metrics_path=os.path.join(out_dir, "metrics.jsonl")
             if args.metrics else None,
         )
+    elif args.mode == "gt":
+        # GT-motion triangulation sanity demo (ref `kitti.cpp:39-188`):
+        # validates frontend + triangulation without trusting estimation.
+        if gt is None:
+            print("ERROR: --mode gt needs GT poses", file=sys.stderr)
+            sys.exit(2)
+        cfg = VOConfig(camera=cam, frontend=fe, ransac=rc,
+                       lm=LMConfig(n_points=48))
+        res = runners.run_gt_triangulation_sequence(frames, cfg, gt_poses=gt)
     elif args.mode == "ba":
         cfg = BAConfig(camera=cam, frontend=fe, ransac=rc,
                        lm=LMConfig(n_points=32, revert_r_norm=1e-2))

@@ -76,6 +76,31 @@ def test_run_ba_sequence():
     assert res.ate is not None and res.ate < 0.15, res.ate
 
 
+def test_run_gt_triangulation_sequence():
+    """C25 (ref `kitti.cpp:39-188`): triangulation against GT motion must
+    reconstruct the actual scene — points land near the true landmarks."""
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, (140,), minval=6.0, maxval=18.0)
+    xy = jax.random.uniform(k2, (140, 2), minval=-0.7, maxval=0.7) * z[:, None]
+    X_true = np.asarray(jnp.concatenate([xy, z[:, None]], axis=-1))
+    frames, gt = make_sequence(F=4)
+    res = runners.run_gt_triangulation_sequence(frames, VO_CFG, gt_poses=gt)
+    # The reference's 1e-2 parallax gate (`kitti_E.cpp:248`) rejects
+    # near-epipole points; under this forward-motion fixture only the
+    # high-parallax periphery survives.
+    assert res.cloud.shape[0] > 20
+    np.testing.assert_allclose(res.trajectory, res.gt_trajectory)
+    # Every cloud point should be near SOME true landmark (world frame ==
+    # frame-0 camera frame in this fixture).
+    # Narrow-baseline single-pair triangulation noise floor is
+    # z^2/(f*b)*sigma_px ~ 1.0 here; the bound catches frame-convention
+    # errors (which offset the cloud by several units), not noise.
+    d2 = np.linalg.norm(res.cloud[:, None, :] - X_true[None], axis=-1).min(1)
+    assert np.median(d2) < 1.0, np.median(d2)
+    assert (d2 < 2.0).mean() > 0.75, (d2 < 2.0).mean()
+
+
 def test_run_ba_sequence_orb():
     """ORB-matched windowed BA (the reference's really_robust_ass window
     orchestrator, `kitti_ba.cpp:584-754`) recovers the trajectory."""
