@@ -67,12 +67,19 @@ def smallest_eigvec_9(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
 
 def project_essential(E: jnp.ndarray) -> jnp.ndarray:
     """Project to the essential manifold: singular values (1, 1, 0), with
-    det(U) = det(V) = +1 so decompose() yields proper rotations."""
-    U, _, Vt = jnp.linalg.svd(E)
-    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
-    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    return U @ S @ Vt
+    det(U) = det(V) = +1 so decompose() yields proper rotations.
+
+    Uses the closed-form batched 3x3 SVD (``linalg3.svd3`` — already
+    proper-rotation U/V): thousands of RANSAC hypotheses per call made
+    ``jnp.linalg.svd``'s per-matrix Jacobi iteration the pipeline hot spot.
+    """
+    from epivo_tpu.geometry import linalg3
+
+    U, _, Vt = linalg3.svd3(E)
+    # E' = u0 v0^T + u1 v1^T (singular values pinned to (1, 1, 0)).
+    return (
+        U[..., :, 0:1] @ Vt[..., 0:1, :] + U[..., :, 1:2] @ Vt[..., 1:2, :]
+    )
 
 
 def eight_point(p: jnp.ndarray, p_t: jnp.ndarray,
@@ -121,11 +128,12 @@ def decompose(E: jnp.ndarray):
 
     Standard SVD factorization E = U diag(1,1,0) V^T; R in {U W V^T, U W^T V^T},
     t = +-u3 (unit norm, matching OpenCV's recoverPose convention the
-    reference relies on, `kitti_E.cpp:120`).
+    reference relies on, `kitti_E.cpp:120`). Closed-form batched SVD
+    (proper rotations by construction) — see :func:`project_essential`.
     """
-    U, _, Vt = jnp.linalg.svd(E)
-    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    from epivo_tpu.geometry import linalg3
+
+    U, _, Vt = linalg3.svd3(E)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     Ra = U @ W @ Vt
     Rb = U @ W.T @ Vt
