@@ -95,17 +95,64 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(keep, score, 0.0)
 
 
-def top_k_keypoints(score: jnp.ndarray, k: int) -> Keypoints:
-    """Rank-select a fixed budget of keypoints from a dense score map."""
+def top_k_keypoints(score: jnp.ndarray, k: int,
+                    two_stage: bool | None = None) -> Keypoints:
+    """Rank-select a fixed budget of keypoints from a dense score map.
+
+    ``jax.lax.top_k`` over a full frame (~0.5M lanes) is a sort-class op;
+    the two-stage path (default on for large maps) first reduces each
+    16x16 block to its top-8 NMS survivors with 8 masked max-reductions
+    (pure VPU), then runs the exact top-k over the ~3% of candidates that
+    remain. Exact unless one 16x16 block holds more than 8 of the global
+    top-k survivors — with 3x3 NMS spacing that needs pathologically dense
+    corners, and a miss only swaps tail-of-budget keypoints.
+    """
     H, W = score.shape
-    flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
-    ys = (idx // W).astype(score.dtype)
-    xs = (idx % W).astype(score.dtype)
+    if two_stage is None:
+        two_stage = H * W >= 1 << 16
+    if not two_stage:
+        flat = score.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, k)
+        ys = (idx // W).astype(score.dtype)
+        xs = (idx % W).astype(score.dtype)
+        return Keypoints(
+            xy=jnp.stack([xs, ys], axis=-1), score=vals, valid=vals > 0.0,
+        )
+
+    B, M = 16, 8  # block edge, candidates per block
+    Hp = ((H + B - 1) // B) * B
+    Wp = ((W + B - 1) // B) * B
+    s = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    blocks = s.reshape(Hp // B, B, Wp // B, B).transpose(0, 2, 1, 3)
+    nb = (Hp // B) * (Wp // B)
+    blocks = blocks.reshape(nb, B * B)
+
+    cand_v, cand_i = [], []
+    cur = blocks
+    lane = jnp.arange(B * B)[None, :]
+    for _ in range(M):
+        idx = jnp.argmax(cur, axis=-1)  # [nb]
+        val = jnp.max(cur, axis=-1)
+        cand_v.append(val)
+        cand_i.append(idx)
+        # Mask the winner with a full-tile select (no scatter).
+        cur = jnp.where(lane == idx[:, None], -jnp.inf, cur)
+    cv = jnp.stack(cand_v, -1)  # [nb, M]
+    ci = jnp.stack(cand_i, -1)
+
+    # Global flat index of each candidate.
+    by = (jnp.arange(nb) // (Wp // B)) * B
+    bx = (jnp.arange(nb) % (Wp // B)) * B
+    iy = by[:, None] + ci // B
+    ix = bx[:, None] + ci % B
+    inb = (iy < H) & (ix < W)
+    cv = jnp.where(inb, cv, 0.0)
+
+    vals, sel = jax.lax.top_k(cv.reshape(-1), k)
+    ys = iy.reshape(-1)[sel].astype(score.dtype)
+    xs = ix.reshape(-1)[sel].astype(score.dtype)
     return Keypoints(
-        xy=jnp.stack([xs, ys], axis=-1),
-        score=vals,
-        valid=vals > 0.0,
+        xy=jnp.stack([xs, ys], axis=-1), score=vals, valid=vals > 0.0,
     )
 
 
@@ -132,9 +179,9 @@ def detect(img: jnp.ndarray, threshold: float = 40.0, max_keypoints: int = 1024,
     if use_pallas:
         from epivo_tpu.frontend.pallas_fast import fast_score_map_pallas
 
-        s = fast_score_map_pallas(img, float(threshold))
+        s = fast_score_map_pallas(img, float(threshold), nms=nms)
     else:
         s = fast_score_map(img, threshold)
-    if nms:
-        s = nms3(s)
+        if nms:
+            s = nms3(s)
     return top_k_keypoints(s, max_keypoints)

@@ -29,30 +29,37 @@ _TILE_H = 64
 _TILE_W = 256
 
 
-def _fast_tile_kernel(threshold: float, H: int, W: int, img_ref, out_ref):
-    """Scores for one tile; img_ref is the full padded image in VMEM.
+def _fast_tile_kernel(threshold: float, H: int, W: int, nms: bool,
+                      img_ref, out_ref):
+    """Scores (optionally 3x3-NMS'd in-kernel) for one tile.
 
-    img_ref: [Hp, Wp] (padded by HALO on all sides).
-    out_ref: [TILE_H, TILE_W] block of the score map.
+    img_ref: [Hp, Wp] full padded image in VMEM (halo _HALO + nms).
+    out_ref: [TILE_H, TILE_W] block of the (NMS'd) score map.
+
+    With ``nms`` the tile's scores are computed with a 1-pixel apron and
+    suppressed against their 8 neighbours inside the kernel — the dense
+    score map never round-trips HBM un-suppressed.
     """
     th, tw = _TILE_H, _TILE_W
+    ap = 1 if nms else 0  # apron for in-kernel NMS
+    eh, ew = th + 2 * ap, tw + 2 * ap
     i = pl.program_id(0)
     j = pl.program_id(1)
     y0 = i * th  # top-left of the halo-extended tile in padded coords
     x0 = j * tw
 
-    blk = img_ref[pl.ds(y0, th + 2 * _HALO), pl.ds(x0, tw + 2 * _HALO)]
-    c = blk[_HALO : _HALO + th, _HALO : _HALO + tw]
+    blk = img_ref[pl.ds(y0, eh + 2 * _HALO), pl.ds(x0, ew + 2 * _HALO)]
+    c = blk[_HALO : _HALO + eh, _HALO : _HALO + ew]
 
     # Ring values from statically shifted views — no rolls, no copies.
     ring = [
-        blk[_HALO + dy : _HALO + dy + th, _HALO + dx : _HALO + dx + tw] - c
+        blk[_HALO + dy : _HALO + dy + eh, _HALO + dx : _HALO + dx + ew] - c
         for (dy, dx) in CIRCLE
     ]
 
     big = jnp.float32(3.4e38)
-    bright = jnp.full((th, tw), -big)
-    dark = jnp.full((th, tw), -big)
+    bright = jnp.full((eh, ew), -big)
+    dark = jnp.full((eh, ew), -big)
     for k in range(16):
         bmin = ring[k]
         dmax = ring[k]
@@ -67,31 +74,54 @@ def _fast_tile_kernel(threshold: float, H: int, W: int, img_ref, out_ref):
     score = jnp.where(score > threshold, score, 0.0)
 
     # Zero out-of-image lanes and the 3-pixel border (ring would wrap).
-    ys = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
-    xs = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    # Coordinates of the extended block start at (y0 - ap, x0 - ap) in
+    # image space (padded coords are offset by _HALO + ap).
+    ys = y0 - ap + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0)
+    xs = x0 - ap + jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1)
     interior = (
         (ys >= _HALO) & (ys < H - _HALO) & (xs >= _HALO) & (xs < W - _HALO)
     )
-    out_ref[:, :] = jnp.where(interior, score, 0.0)
+    score = jnp.where(interior, score, 0.0)
+
+    if nms:
+        center = score[1 : 1 + th, 1 : 1 + tw]
+        neigh = jnp.full((th, tw), -big)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                neigh = jnp.maximum(
+                    neigh, score[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+                )
+        out_ref[:, :] = jnp.where(center >= neigh, center, 0.0)
+    else:
+        out_ref[:, :] = score
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def fast_score_map_pallas(img: jnp.ndarray, threshold: float,
-                          interpret: bool = False) -> jnp.ndarray:
-    """Dense FAST-9/16 score map via the tiled Pallas kernel. img [H, W]."""
+                          interpret: bool = False,
+                          nms: bool = False) -> jnp.ndarray:
+    """Dense FAST-9/16 score map via the tiled Pallas kernel. img [H, W].
+
+    With ``nms`` the 3x3 non-maximum suppression happens inside the kernel
+    (identical output to ``fast.nms3(fast_score_map(...))``, one fewer
+    dense HBM round trip)."""
     H, W = img.shape
+    ap = 1 if nms else 0
+    halo = _HALO + ap
     gh = pl.cdiv(H, _TILE_H)
     gw = pl.cdiv(W, _TILE_W)
-    Hp = gh * _TILE_H + 2 * _HALO
-    Wp = gw * _TILE_W + 2 * _HALO
+    Hp = gh * _TILE_H + 2 * halo
+    Wp = gw * _TILE_W + 2 * halo
     img_p = jnp.pad(
         img.astype(jnp.float32),
-        ((_HALO, Hp - H - _HALO), (_HALO, Wp - W - _HALO)),
+        ((halo, Hp - H - halo), (halo, Wp - W - halo)),
         mode="edge",
     )
 
     out = pl.pallas_call(
-        functools.partial(_fast_tile_kernel, float(threshold), H, W),
+        functools.partial(_fast_tile_kernel, float(threshold), H, W, nms),
         grid=(gh, gw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # full padded image
         out_specs=pl.BlockSpec(

@@ -56,11 +56,18 @@ def smallest_eigvec_9(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     # AtA is exactly rank-8, so the shift dominates only the null direction.
     M = AtA + 1e-7 * tr * jnp.eye(9, dtype=dtype)
     L = jnp.linalg.cholesky(M)
+    # ONE batched solve materializes M^-1 (9 RHS at once); the power
+    # iterations are then pure batched matvecs — MXU work instead of
+    # ``iters`` dependent triangular-solve chains (the 9x9 inverse is safe
+    # here: the ridge bounds the condition number).
+    Minv = jax.scipy.linalg.cho_solve(
+        (L, True), jnp.broadcast_to(jnp.eye(9, dtype=dtype), M.shape)
+    )
     # Fixed start vector; the probability of orthogonality to the null
     # space for real data is zero (and scoring rejects any failure).
     v = jnp.ones(AtA.shape[:-2] + (9,), dtype) / 3.0
     for _ in range(iters):
-        v = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+        v = jnp.einsum("...ij,...j->...i", Minv, v)
         v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
     return v
 

@@ -76,6 +76,26 @@ def test_fast_fixed_budget_shapes():
     assert kp.valid.shape == (128,)
 
 
+def test_top_k_two_stage_matches_exact_on_nms_maps():
+    """The blockwise top-k equals exact top-k on NMS-sparse score maps
+    (what detect() actually feeds it)."""
+    rng = np.random.default_rng(7)
+    H, W = 376, 600
+    s = np.zeros((H, W), np.float32)
+    n = 2500
+    ys = rng.integers(3, H - 3, n)
+    xs = rng.integers(3, W - 3, n)
+    s[ys, xs] = rng.uniform(1, 100, n)
+    sj = jnp.asarray(s)
+    exact = fast.top_k_keypoints(sj, 512, two_stage=False)
+    two = fast.top_k_keypoints(sj, 512, two_stage=True)
+    se = set(map(tuple, np.asarray(exact.xy)[np.asarray(exact.valid)].astype(int)))
+    st = set(map(tuple, np.asarray(two.xy)[np.asarray(two.valid)].astype(int)))
+    assert se == st
+    np.testing.assert_allclose(np.sort(np.asarray(exact.score)),
+                               np.sort(np.asarray(two.score)))
+
+
 def _shifted_pair(shift=(3.0, 2.0), H=96, W=128, seed=0):
     """Smooth random texture and its subpixel-shifted copy."""
     rng = np.random.default_rng(seed)

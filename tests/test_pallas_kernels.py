@@ -22,6 +22,16 @@ def test_pallas_fast_matches_xla(shape):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
 
 
+@pytest.mark.parametrize("shape", [(64, 96), (200, 300), (127, 255)])
+def test_pallas_fast_fused_nms_matches_xla(shape):
+    """In-kernel 3x3 NMS == fast.nms3(fast_score_map(...)) exactly."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    ref = fast.nms3(fast.fast_score_map(img, 25.0))
+    pal = fast_score_map_pallas(img, 25.0, True, nms=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+
 def test_pallas_fast_flat_image():
     img = jnp.full((100, 160), 77.0)
     pal = fast_score_map_pallas(img, 10.0, True)
