@@ -27,7 +27,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_collectives(tmp_path):
     port = _free_port()
     n_proc = 2
@@ -36,6 +35,9 @@ def test_two_process_collectives(tmp_path):
         out_path = str(tmp_path / f"out_{pid}.json")
         outs.append(out_path)
         env = dict(os.environ)
+        # The worker is launched by file path, so sys.path[0] is its own
+        # directory — the repo root must be on PYTHONPATH for `epivo_tpu`.
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         # Workers must not inherit the axon platform override.
