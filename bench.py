@@ -41,9 +41,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
-N_ITERS = 10          # frames per timed program (latency mode)
+# Long scans amortize the host<->device relay's fixed ~25-30 ms program
+# round-trip (measured r2) so the numbers reflect what the DEVICE
+# sustains, as in a production frame stream, not the relay tax.
+N_ITERS = 64          # frames per timed program (latency mode)
 N_BATCH = 8           # pairs per dispatch (batched mode)
-N_BATCH_ITERS = 4     # scan length in batched mode
+N_BATCH_ITERS = 16    # scan length in batched mode
 N_REPS = 3
 
 # Workload fingerprint: any change invalidates the cached baseline

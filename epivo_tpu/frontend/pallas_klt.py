@@ -173,3 +173,157 @@ def lk_iterate_pallas(tgt_wins_T, T, Ix, Iy, q0, win: int, iters: int,
     )(tgt_wins_T.astype(jnp.float32), T.astype(jnp.float32),
       Ix.astype(jnp.float32), Iy.astype(jnp.float32), q_in)
     return jnp.transpose(q_out, (1, 0))[:K], err[0, :K]
+
+
+# ---------------------------------------------------------------------------
+# Window extraction: image-resident-in-VMEM + per-keypoint rotate compaction
+# ---------------------------------------------------------------------------
+#
+# XLA lowers a vmapped ``dynamic_slice`` over K keypoints to a gather that
+# costs ~0.28 ms per 512 x 34 x 34 extraction on a v5e (measured r2) — the
+# tracker's dominant cost at 8 extractions/frame. Per-keypoint DMA is no
+# better (~2.4 us/keypoint issue overhead). This kernel instead moves the
+# WHOLE image into VMEM once (video frames are ~2 MB, one DMA at HBM
+# speed), then compacts each window on the VPU: an (8, 128)-tile-aligned
+# slice of the VMEM image (alignment provable to Mosaic because the caller
+# passes tile indices and the kernel multiplies them back up), two dynamic
+# rotates (``pltpu.roll``) to cancel the in-tile residual offset, and a
+# static top-left crop. ~0.03 ms per extraction — ~10x the gather.
+
+_SUP_X = 256  # minimal 128-lane cover of (S <= 128) + (ox % 128) <= 127
+_VMEM_IMG_BUDGET = 8 * 1024 * 1024  # fall back to XLA gather above this
+
+
+def _sup_y(size: int) -> int:
+    """Minimal x8 row count covering ``size`` rows at any 8-row phase."""
+    return ((size + 7 + 7) // 8) * 8
+
+
+def _extract_kernel(S, KB, oy_t_ref, ox_t_ref, dy_ref, dx_ref, img_ref,
+                    out_ref, img_vmem, sem):
+    """img_ref: [B, Hp, Wp] HBM (padded); out_ref: VMEM block [1, KB, S, S];
+    oy_t/ox_t: [B, K] tile indices; dy/dx: [B, K] in-tile residuals.
+
+    Grid (B, K // KB), k fastest: the full image is DMA'd into VMEM once
+    per batch element (at k == 0) and all its K windows are compacted from
+    there."""
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    SY = _sup_y(S)
+
+    @pl.when(kb == 0)
+    def _():
+        cp = pltpu.make_async_copy(img_ref.at[b], img_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    k0 = kb * KB
+
+    def body(i, carry):
+        a = img_vmem[
+            pl.ds(oy_t_ref[b, k0 + i] * 8, SY),
+            pl.ds(ox_t_ref[b, k0 + i] * 128, _SUP_X),
+        ]
+        # out[r, c] = a[r + dy, c + dx]: left-rotate by (dy, dx), then the
+        # static top-left S x S corner is the window.
+        a = pltpu.roll(a, jax.lax.rem(SY - dy_ref[b, k0 + i], SY), 0)
+        a = pltpu.roll(a, jax.lax.rem(_SUP_X - dx_ref[b, k0 + i], _SUP_X), 1)
+        out_ref[0, i] = a[:S, :S]
+        return carry
+
+    jax.lax.fori_loop(0, KB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _extract_windows_batched(img, oy, ox, size: int, interpret: bool = False):
+    """[B, K] integer window origins -> [B, K, size, size] window stack.
+
+    Origins must satisfy 0 <= oy <= H - size, 0 <= ox <= W - size.
+    """
+    B, H, W = img.shape
+    K = oy.shape[1]
+    S = int(size)
+    SY = _sup_y(S)
+    # Pad so every aligned superset slice is in (logical) bounds.
+    Hp = max(((H + 7) // 8) * 8 + 8, SY)
+    Wp = max(((W + 127) // 128) * 128 + 128, _SUP_X)
+    img_p = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    oy = oy.astype(jnp.int32)
+    ox = ox.astype(jnp.int32)
+    oy_t = jnp.clip(oy // 8, 0, (Hp - SY) // 8)
+    ox_t = jnp.clip(ox // 128, 0, (Wp - _SUP_X) // 128)
+    dy = oy - oy_t * 8
+    dx = ox - ox_t * 128
+
+    KB = min(K, 128)
+    Kp = ((K + KB - 1) // KB) * KB
+    if Kp != K:
+        pad = [(0, 0), (0, Kp - K)]
+        oy_t, ox_t = jnp.pad(oy_t, pad), jnp.pad(ox_t, pad)
+        dy, dx = jnp.pad(dy, pad), jnp.pad(dx, pad)
+
+    kern = functools.partial(_extract_kernel, S, KB)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, Kp // KB),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, KB, S, S), lambda b, k, *_: (b, k, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp, Wp), img.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, S, S), img.dtype),
+        interpret=interpret,
+    )(oy_t, ox_t, dy, dx, img_p)
+    return out[:, :K]
+
+
+def _make_extract_cv(size: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def extract(img, oy, ox):
+        return _extract_windows_batched(img[None], oy[None], ox[None],
+                                        size, interpret)[0]
+
+    @extract.def_vmap
+    def _vmap_rule(axis_size, in_batched, img, oy, ox):
+        bcast = lambda x, b: x if b else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape
+        )
+        out = _extract_windows_batched(
+            bcast(img, in_batched[0]), bcast(oy, in_batched[1]),
+            bcast(ox, in_batched[2]), size, interpret,
+        )
+        return out, True
+
+    return extract
+
+
+_extract_cv_cache: dict = {}
+
+
+def extract_windows_pallas(img, oy, ox, size: int, interpret: bool = False):
+    """[K] size x size windows of ``img`` at integer origins (oy, ox).
+
+    DMA/VPU replacement for the vmapped-``dynamic_slice`` gather; origins
+    must be pre-clamped to [0, H - size] x [0, W - size]. ``size`` must be
+    a Python int. Outer ``vmap``s map onto the kernel grid (one program per
+    batch element) via a custom batching rule.
+    """
+    key = (int(size), bool(interpret))
+    fn = _extract_cv_cache.get(key)
+    if fn is None:
+        fn = _extract_cv_cache[key] = _make_extract_cv(*key)
+    return fn(img, oy, ox.astype(jnp.int32))
+
+
+def extraction_fits_vmem(h: int, w: int, itemsize: int = 4) -> bool:
+    """Whether the VMEM-resident extraction kernel can hold the image."""
+    Hp = ((h + 7) // 8) * 8 + 8
+    Wp = ((w + 127) // 128) * 128 + 128
+    return Hp * Wp * itemsize <= _VMEM_IMG_BUDGET
