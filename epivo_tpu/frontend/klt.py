@@ -103,7 +103,7 @@ def _extract_windows(img: jnp.ndarray, centers: jnp.ndarray, size: int,
             extract_windows_pallas, extraction_fits_vmem,
         )
 
-        if extraction_fits_vmem(H, W, img.dtype.itemsize):
+        if size <= 128 and extraction_fits_vmem(H, W, img.dtype.itemsize):
             wins = extract_windows_pallas(img, oy, ox, size)
             return wins, jnp.stack([ox, oy], axis=-1).astype(img.dtype)
 

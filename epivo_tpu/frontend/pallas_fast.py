@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from epivo_tpu.frontend.fast import ARC, CIRCLE
+from epivo_tpu.frontend.pallas_backend import resolve_interpret
 
 _HALO = 3
 _TILE_H = 64
@@ -100,13 +101,15 @@ def _fast_tile_kernel(threshold: float, H: int, W: int, nms: bool,
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def fast_score_map_pallas(img: jnp.ndarray, threshold: float,
-                          interpret: bool = False,
+                          interpret: bool | None = None,
                           nms: bool = False) -> jnp.ndarray:
     """Dense FAST-9/16 score map via the tiled Pallas kernel. img [H, W].
 
     With ``nms`` the 3x3 non-maximum suppression happens inside the kernel
     (identical output to ``fast.nms3(fast_score_map(...))``, one fewer
-    dense HBM round trip)."""
+    dense HBM round trip). ``interpret=None`` auto-selects interpret mode
+    on backends that cannot compile Mosaic (CPU)."""
+    interpret = resolve_interpret(interpret)
     H, W = img.shape
     ap = 1 if nms else 0
     halo = _HALO + ap

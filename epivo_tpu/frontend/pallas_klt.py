@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from epivo_tpu.frontend.pallas_backend import resolve_interpret
+
 _LANE_BLOCK = 128
 
 
@@ -125,13 +127,15 @@ def _lk_kernel(win, S, iters, eps, tgt_ref, T_ref, Ix_ref, Iy_ref, q_ref,
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def lk_iterate_pallas(tgt_wins_T, T, Ix, Iy, q0, win: int, iters: int,
-                      eps: float, interpret: bool = False):
+                      eps: float, interpret: bool | None = None):
     """Run ``iters`` LK refinement steps for all keypoints.
 
     tgt_wins_T: [S, S, K]; T/Ix/Iy: [win, win, K]; q0: [K, 2] top-left
     corners. Returns (q_fin [K, 2], err [K]). K is padded to a multiple of
-    the 128-lane block internally.
+    the 128-lane block internally. ``interpret=None`` auto-selects
+    interpret mode on backends that cannot compile Mosaic (CPU).
     """
+    interpret = resolve_interpret(interpret)
     S = tgt_wins_T.shape[0]
     K = tgt_wins_T.shape[-1]
     Kb = _LANE_BLOCK
@@ -235,11 +239,13 @@ def _extract_kernel(S, KB, oy_t_ref, ox_t_ref, dy_ref, dx_ref, img_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
-def _extract_windows_batched(img, oy, ox, size: int, interpret: bool = False):
+def _extract_windows_batched(img, oy, ox, size: int,
+                             interpret: bool | None = None):
     """[B, K] integer window origins -> [B, K, size, size] window stack.
 
     Origins must satisfy 0 <= oy <= H - size, 0 <= ox <= W - size.
     """
+    interpret = resolve_interpret(interpret)
     B, H, W = img.shape
     K = oy.shape[1]
     S = int(size)
@@ -307,15 +313,23 @@ def _make_extract_cv(size: int, interpret: bool):
 _extract_cv_cache: dict = {}
 
 
-def extract_windows_pallas(img, oy, ox, size: int, interpret: bool = False):
+def extract_windows_pallas(img, oy, ox, size: int,
+                           interpret: bool | None = None):
     """[K] size x size windows of ``img`` at integer origins (oy, ox).
 
     DMA/VPU replacement for the vmapped-``dynamic_slice`` gather; origins
     must be pre-clamped to [0, H - size] x [0, W - size]. ``size`` must be
-    a Python int. Outer ``vmap``s map onto the kernel grid (one program per
-    batch element) via a custom batching rule.
+    a Python int <= 128 (the _SUP_X=256 rotate cover assumes
+    dx <= 127 and S <= 128; larger windows must use the gather path).
+    Outer ``vmap``s map onto the kernel grid (one program per batch
+    element) via a custom batching rule.
     """
-    key = (int(size), bool(interpret))
+    if int(size) > 128:
+        raise ValueError(
+            f"extract_windows_pallas supports size <= 128, got {size}; "
+            "use the dynamic_slice gather path for larger windows."
+        )
+    key = (int(size), resolve_interpret(interpret))
     fn = _extract_cv_cache.get(key)
     if fn is None:
         fn = _extract_cv_cache[key] = _make_extract_cv(*key)
