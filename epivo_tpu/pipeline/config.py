@@ -68,6 +68,11 @@ class LMConfig:
     max_iters: int = 30  # ref `jac_Rt_gen_.cpp:323`
     huber_delta: float = 1e-5  # ref `jac_Rt_gen_.cpp:17`
     n_points: int = 48  # ref `kitti_E.cpp:170` (BA windows use 32, :777)
+    # Minimum valid points to accept a refinement. The reference refines on
+    # whatever <= 48 points pass cheirality (`kitti_E.cpp:170-196`);
+    # n_points is only the *budget*, so requiring all lanes valid would
+    # discard the refinement whenever one lane fails.
+    min_points: int = 12
     # Ref kitti_E uses 1e-9 (`kitti_E.cpp:198`) in f64, where converged
     # residual norms are ~1e-12; in f32 the converged floor is ~1e-6, so
     # the equivalent health gate is ~1e-4. BA windows use 1e-2 (:892).

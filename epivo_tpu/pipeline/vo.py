@@ -104,8 +104,10 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
         huber_delta=lc.huber_delta,
     )
     # Revert to the E-pose when LM uncertainty is high (ref `kitti_E.cpp:198-200`)
-    # or too few points were available to refine.
-    enough = jnp.sum(sel_valid) >= lc.n_points
+    # or too few points were available to refine. The reference refines on
+    # however many (<= 48) points pass cheirality (`kitti_E.cpp:170-196`);
+    # min_points is a floor, not the full budget.
+    enough = jnp.sum(sel_valid) >= lc.min_points
     revert = (out.r_norm > lc.revert_r_norm) | ~enough
     T = jnp.where(revert, T_e, out.T0s[0])
     # Two-view geometry is gauge-free in |t| (the epipolar energy is exactly
@@ -199,7 +201,7 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
         pmask=sel_valid[None], lambda0=lc.lambda0, epsilon=lc.epsilon,
         max_iters=lc.max_iters, huber_delta=lc.huber_delta,
     )
-    enough = jnp.sum(sel_valid) >= lc.n_points
+    enough = jnp.sum(sel_valid) >= lc.min_points
     revert = (out.r_norm > lc.revert_r_norm) | ~enough | too_few
     T = jnp.where(revert, T_e, out.T0s[0])
     T = _unit_translation(T)
