@@ -44,6 +44,15 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_double,
     ]
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.epivo_lm_windowed.restype = ctypes.c_int
+    lib.epivo_lm_windowed.argtypes = [
+        dptr, ctypes.c_int,                       # T0s, Z
+        ctypes.POINTER(ctypes.c_int), dptr, ctypes.c_int,  # reps, wreps, R
+        dptr, dptr, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,  # p, pt, pmask, N
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        dptr, ctypes.POINTER(ctypes.c_int),       # r_norm_out, iters_out
+    ]
     _lib = lib
     return lib
 
@@ -96,6 +105,49 @@ def lm_refine_pose(T: np.ndarray, p: np.ndarray, p_t: np.ndarray,
         float(huber_delta), float(epsilon),
     )
     return T64, int(acc)
+
+
+def lm_windowed(T0s: np.ndarray, reps: np.ndarray, p: np.ndarray,
+                p_t: np.ndarray, wreps: np.ndarray | None = None,
+                pmask: np.ndarray | None = None, lambda0: float = 1e-2,
+                max_iters: int = 30, huber_delta: float = 1e-5,
+                epsilon: float = 1e-8):
+    """Native windowed multi-zeta LM (the reference's full solver,
+    `jac_Rt_gen_.cpp:287-478`; see lm_ref.cpp). The single-core baseline
+    counterpart of ``optim.lm.solve`` for the BA benchmark, and testable
+    against it.
+
+    T0s [Z,4,4]; reps [R,2] forward spans; p/p_t [R,N,3]; wreps [R];
+    pmask [R,N] bool. Returns (T_opt [Z,4,4], r_norm, accepted, iters_run).
+    """
+    lib = _load()
+    T64 = np.ascontiguousarray(T0s, np.float64).copy()
+    reps32 = np.ascontiguousarray(reps, np.int32)
+    p64 = np.ascontiguousarray(p, np.float64)
+    pt64 = np.ascontiguousarray(p_t, np.float64)
+    Z = int(T64.shape[0])
+    R = int(reps32.shape[0])
+    N = int(p64.shape[1])
+    w64 = (np.ascontiguousarray(wreps, np.float64)
+           if wreps is not None else None)
+    m8 = (np.ascontiguousarray(pmask, np.uint8)
+          if pmask is not None else None)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    r_norm = ctypes.c_double(0.0)
+    iters = ctypes.c_int(0)
+    acc = lib.epivo_lm_windowed(
+        T64.ctypes.data_as(dptr), Z,
+        reps32.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        w64.ctypes.data_as(dptr) if w64 is not None else None, R,
+        p64.ctypes.data_as(dptr), pt64.ctypes.data_as(dptr),
+        m8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        if m8 is not None else None,
+        N, float(lambda0), int(max_iters), float(huber_delta),
+        float(epsilon), ctypes.byref(r_norm), ctypes.byref(iters),
+    )
+    if acc < 0:
+        raise ValueError(f"lm_windowed: Z={Z} exceeds the native limit")
+    return T64, float(r_norm.value), int(acc), int(iters.value)
 
 
 class NativeLoader:

@@ -258,3 +258,230 @@ extern "C" int epivo_lm_refine_pose(double* T, const double* p,
   }
   return accepted;
 }
+
+// ---------------------------------------------------------------------------
+// Windowed multi-zeta LM — the reference's full Levenberg_Marquardt
+// (`/root/reference/jac_Rt_gen_.cpp:287-478`): joint optimization of Z
+// relative poses over R weighted reprojection constraints with forward
+// zeta spans (the mono/stereo window shapes of `kitti_ba.cpp:757-905`).
+// Used by the BA benchmark baseline (`baselines/native_ba.py`) so the
+// windows/s comparison pays native single-core cost for the whole solver.
+//
+// Chain-rule structure: a constraint spanning zetas [z0, z1] sees the
+// composed pose T_comp = T_{z1} ... T_{z0}; embedding the update at zeta k
+// (T_k <- T_k exp(e)) gives T(e) = T_comp * exp(Adj(B^-1) e) with
+// B = T_{k-1} ... T_{z0}, so the per-zeta Jacobian block is the
+// right-tangent point Jacobian at T_comp times the 6x6 adjoint of B^-1 —
+// the flat-array equivalent of the reference's RepJacobian::compute
+// left/right frames (`jac_Rt_gen_.cpp:262-284`).
+
+namespace {
+
+constexpr int kMaxZ = 8;            // poses per window (mono ws<=9)
+constexpr int kMaxDim = 6 * kMaxZ;  // normal-equation dimension
+
+inline void mat4_mul(const double* a, const double* b, double* out) {
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) {
+      double s = 0;
+      for (int k = 0; k < 4; k++) s += a[4 * i + k] * b[4 * k + j];
+      out[4 * i + j] = s;
+    }
+}
+
+inline void mat4_identity(double* out) {
+  std::memset(out, 0, 16 * sizeof(double));
+  out[0] = out[5] = out[10] = out[15] = 1.0;
+}
+
+// SE(3) inverse: (R, t) -> (R^T, -R^T t).
+inline void se3_inverse(const double* T, double* out) {
+  mat4_identity(out);
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) out[4 * i + j] = T[4 * j + i];
+  for (int i = 0; i < 3; i++) {
+    double s = 0;
+    for (int j = 0; j < 3; j++) s += out[4 * i + j] * T[4 * j + 3];
+    out[4 * i + 3] = -s;
+  }
+}
+
+// 6x6 adjoint of X = (R, t) in (v, w) twist order:
+// Adj = [[R, hat(t) R], [0, R]]  (X exp(xi) X^-1 = exp(Adj xi)).
+inline void se3_adjoint(const double* T, double* A /* 36 */) {
+  const double R[9] = {T[0], T[1], T[2], T[4], T[5], T[6], T[8], T[9], T[10]};
+  const double t[3] = {T[3], T[7], T[11]};
+  const double ht[9] = {0, -t[2], t[1], t[2], 0, -t[0], -t[1], t[0], 0};
+  double htR[9];
+  mat3_mul(ht, R, htR);
+  std::memset(A, 0, 36 * sizeof(double));
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      A[6 * i + j] = R[3 * i + j];
+      A[6 * i + (j + 3)] = htR[3 * i + j];
+      A[6 * (i + 3) + (j + 3)] = R[3 * i + j];
+    }
+}
+
+// General n x n Cholesky solve of H x = -b (in-place scratch). False on a
+// non-positive pivot.
+bool solveN(const double* H, const double* b, double* x, int n) {
+  double L[kMaxDim * kMaxDim];
+  std::memcpy(L, H, n * n * sizeof(double));
+  for (int i = 0; i < n; i++) {
+    for (int j = 0; j <= i; j++) {
+      double s = L[n * i + j];
+      for (int k = 0; k < j; k++) s -= L[n * i + k] * L[n * j + k];
+      if (i == j) {
+        if (s <= 0) return false;
+        L[n * i + j] = std::sqrt(s);
+      } else {
+        L[n * i + j] = s / L[n * j + j];
+      }
+    }
+  }
+  double y[kMaxDim];
+  for (int i = 0; i < n; i++) {
+    double s = -b[i];
+    for (int k = 0; k < i; k++) s -= L[n * i + k] * y[k];
+    y[i] = s / L[n * i + i];
+  }
+  for (int i = n - 1; i >= 0; i--) {
+    double s = y[i];
+    for (int k = i + 1; k < n; k++) s -= L[n * k + i] * x[k];
+    x[i] = s / L[n * i + i];
+  }
+  return true;
+}
+
+// Weighted window energy: sum over constraints of w^2 * sum r_i^2.
+double window_energy(const double* T0s, int Z, const int* reps,
+                     const double* wreps, int R, const double* p,
+                     const double* pt, const unsigned char* pmask, int N,
+                     double huber_delta) {
+  double E = 0;
+  for (int r = 0; r < R; r++) {
+    const double w = wreps ? wreps[r] : 1.0;
+    if (w == 0.0) continue;
+    const int z0 = reps[2 * r], z1 = reps[2 * r + 1];
+    double Tc[16];
+    mat4_identity(Tc);
+    for (int k = z0; k <= z1; k++) {  // T_comp = T_{z1} ... T_{z0}
+      double tmp[16];
+      mat4_mul(T0s + 16 * k, Tc, tmp);
+      std::memcpy(Tc, tmp, sizeof(tmp));
+    }
+    for (int i = 0; i < N; i++) {
+      if (pmask && !pmask[r * N + i]) continue;
+      const double ri =
+          point_residual(Tc, p + 3 * (r * N + i), pt + 3 * (r * N + i),
+                         huber_delta, nullptr);
+      E += w * w * ri * ri;
+    }
+  }
+  return E;
+}
+
+}  // namespace
+
+// Joint windowed LM. T0s: Z row-major 4x4 poses (in/out); reps: R (z0, z1)
+// forward spans (z0 <= z1); wreps: R weights (null = all 1); p/pt:
+// [R, N, 3] normalized matches; pmask: [R, N] validity (null = all valid).
+// Writes the final weighted residual norm to *r_norm_out (if non-null) and
+// the number of LM iterations executed to *iters_out. Returns accepted
+// step count.
+extern "C" int epivo_lm_windowed(double* T0s, int Z, const int* reps,
+                                 const double* wreps, int R, const double* p,
+                                 const double* pt, const unsigned char* pmask,
+                                 int N, double lambda0, int max_iters,
+                                 double huber_delta, double epsilon,
+                                 double* r_norm_out, int* iters_out) {
+  if (Z > kMaxZ) return -1;
+  const int dim = 6 * Z;
+  double lambda = lambda0;
+  double prev_E =
+      window_energy(T0s, Z, reps, wreps, R, p, pt, pmask, N, huber_delta);
+  int accepted = 0;
+  int it = 0;
+  for (; it < max_iters; it++) {
+    double H[kMaxDim * kMaxDim] = {0};
+    double b[kMaxDim] = {0};
+    // Per constraint: composed pose + per-zeta adjoints, then accumulate.
+    for (int r = 0; r < R; r++) {
+      const double w = wreps ? wreps[r] : 1.0;
+      if (w == 0.0) continue;
+      const int z0 = reps[2 * r], z1 = reps[2 * r + 1];
+      double Tc[16];
+      mat4_identity(Tc);
+      double Adj[kMaxZ][36];  // Adj(B_k^-1), B_k = T_{k-1} ... T_{z0}
+      double Bk[16];
+      mat4_identity(Bk);
+      for (int k = z0; k <= z1; k++) {
+        double Binv[16];
+        se3_inverse(Bk, Binv);
+        se3_adjoint(Binv, Adj[k]);
+        double tmp[16];
+        mat4_mul(T0s + 16 * k, Bk, tmp);  // B_{k+1} = T_k ... T_{z0}
+        std::memcpy(Bk, tmp, sizeof(tmp));
+      }
+      std::memcpy(Tc, Bk, sizeof(Tc));  // T_comp = T_{z1} ... T_{z0}
+
+      double Jrow[kMaxDim];
+      for (int i = 0; i < N; i++) {
+        if (pmask && !pmask[r * N + i]) continue;
+        double J6[6];
+        const double ri =
+            point_residual(Tc, p + 3 * (r * N + i), pt + 3 * (r * N + i),
+                           huber_delta, J6);
+        std::memset(Jrow, 0, dim * sizeof(double));
+        for (int k = z0; k <= z1; k++)
+          for (int c = 0; c < 6; c++) {
+            double s = 0;
+            for (int a = 0; a < 6; a++) s += J6[a] * Adj[k][6 * a + c];
+            Jrow[6 * k + c] = w * s;
+          }
+        const double wr = w * ri;
+        for (int a = 0; a < dim; a++) {
+          if (Jrow[a] == 0.0) continue;
+          b[a] += Jrow[a] * wr;
+          for (int c = a; c < dim; c++) H[dim * a + c] += Jrow[a] * Jrow[c];
+        }
+      }
+    }
+    for (int a = 0; a < dim; a++)
+      for (int c = 0; c < a; c++) H[dim * a + c] = H[dim * c + a];
+    // Damping + relative Tikhonov floor (matches optim/lm.py:208-215).
+    double trace = 0;
+    for (int a = 0; a < dim; a++) trace += H[dim * a + a];
+    const double floor_ = 1e-7 * (trace / dim + 1e-30);
+    double Hd[kMaxDim * kMaxDim];
+    std::memcpy(Hd, H, dim * dim * sizeof(double));
+    for (int a = 0; a < dim; a++)
+      Hd[dim * a + a] += lambda * H[dim * a + a] + floor_;
+    double delta[kMaxDim];
+    if (!solveN(Hd, b, delta, dim)) {
+      lambda *= 5.0;
+      continue;
+    }
+    double dn = 0;
+    for (int a = 0; a < dim; a++) dn += delta[a] * delta[a];
+    if (!(dn == dn)) break;              // NaN guard (ref :407-410)
+    if (std::sqrt(dn) < epsilon) break;  // small-step exit (ref :412-414)
+    double Tc[kMaxZ * 16];
+    std::memcpy(Tc, T0s, 16 * Z * sizeof(double));
+    for (int k = 0; k < Z; k++) se3_exp_right_multiply(Tc + 16 * k, delta + 6 * k);
+    const double Ec =
+        window_energy(Tc, Z, reps, wreps, R, p, pt, pmask, N, huber_delta);
+    if (Ec < prev_E) {
+      std::memcpy(T0s, Tc, 16 * Z * sizeof(double));
+      prev_E = Ec;
+      lambda /= 2.0;
+      accepted++;
+    } else {
+      lambda *= 5.0;
+    }
+  }
+  if (r_norm_out) *r_norm_out = std::sqrt(prev_E);
+  if (iters_out) *iters_out = it;
+  return accepted;
+}

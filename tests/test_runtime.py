@@ -127,3 +127,46 @@ def test_loader_feeds_vo_runner(built, tmp_path):
     # Random-noise frames: pipeline must complete without crashing.
     assert res.trajectory.shape == (3, 4, 4)
     assert np.all(np.isfinite(res.trajectory))
+
+
+def test_native_lm_windowed_matches_jax(built):
+    """The native windowed multi-zeta LM (BA benchmark baseline kernel)
+    recovers a perturbed 2-zeta window and agrees with optim.lm.solve on
+    the same constraints (same spans, weights, masks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from epivo_tpu.datasets import synthetic
+    from epivo_tpu.optim import lm
+    from epivo_tpu.pipeline import ba
+
+    spec = ba.mono_window_spec(ws=3)
+    key = jax.random.PRNGKey(21)
+    scene = synthetic.gen_scene_sequence(
+        key, N=24, n_zeta=spec.n_zeta,
+        reps=[tuple(r) for r in spec.reps],
+        rot_noise=0.04, t_noise=0.08,
+    )
+    wreps = np.ones(spec.reps.shape[0])
+    pmask = np.ones((spec.reps.shape[0], 24), bool)
+    pmask[0, -4:] = False  # exercise the mask path
+
+    T_nat, r_norm, acc, iters = runtime.lm_windowed(
+        np.asarray(scene.T0s), spec.reps, np.asarray(scene.p),
+        np.asarray(scene.p_t), wreps=wreps, pmask=pmask,
+        max_iters=30, huber_delta=1.0,
+    )
+    assert acc > 0 and iters > 0
+    out = lm.solve(scene.T0s, jnp.asarray(spec.reps), scene.p, scene.p_t,
+                   wreps=jnp.asarray(wreps, jnp.float32),
+                   pmask=jnp.asarray(pmask), max_iters=30, huber_delta=1.0)
+    T_jax = np.asarray(out.T0s)
+    for z in range(spec.n_zeta):
+        init = np.linalg.norm(np.asarray(scene.T0s)[z, :3, :3]
+                              - np.asarray(scene.Ts)[z, :3, :3])
+        fin_nat = np.linalg.norm(T_nat[z, :3, :3]
+                                 - np.asarray(scene.Ts)[z, :3, :3])
+        assert fin_nat < max(0.1 * init, 5e-3), (z, init, fin_nat)
+        # Native and JAX land in the same basin.
+        assert np.linalg.norm(T_nat[z, :3, :3] - T_jax[z, :3, :3]) < 2e-2
+    assert r_norm == pytest.approx(float(out.r_norm), rel=0.5, abs=1e-3)
