@@ -1,34 +1,37 @@
-"""Benchmark: two-view VO frames/s per chip (kitti_E-equivalent workload).
+"""Benchmark: two-view VO frames/s + windowed-BA windows/s per chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Workload: the full jitted device step (FAST -> KLT -> RANSAC-512 ->
-refine-E -> recoverPose -> 48-pt LM refine -> triangulation) on KITTI-sized
-(376 x 1241) synthetic frames — the same per-frame work as the reference's
-kitti_E driver (`kitti_E.cpp:54-255`, SURVEY.md §6 workload table).
+Workloads (both photorealistic corridor renders at KITTI resolution —
+VERDICT r2 weak #5: blob frames under-stressed the cv2 baseline's
+unbounded-corner frontend; the corridor has dense real texture):
 
-Two device numbers are reported:
-  - value (headline): BATCHED throughput — B frame pairs per dispatch
-    (vmap), the production frame-stream shape; this is what the chip
-    sustains.
-  - latency_fps: sequentially-dependent single-pair rate (a scan with a
-    data dependency), the per-frame latency view.
+1. VO (kitti_E-equivalent, `kitti_E.cpp:54-255`): the full jitted device
+   step (FAST -> KLT -> RANSAC-512 -> refine-E -> recoverPose -> 48-pt LM
+   -> triangulation) on a corridor frame pair.
+   - value (headline): BATCHED throughput — B pairs per dispatch (vmap).
+   - latency_fps: sequentially-dependent single-pair rate.
+   Baseline: the same pipeline in the reference's execution model
+   (OpenCV C++ + native C++ LM, ONE pinned core, `baselines/cv2_kitti_e.py`).
 
-Baseline (``vs_baseline``): a faithful re-execution of the reference's
-kitti_E pipeline in the reference's OWN execution model — OpenCV C++
-kernels + native C++ LM on ONE pinned CPU core
-(``baselines/cv2_kitti_e.py``; the reference publishes no numbers,
-BASELINE.md, so the baseline is measured here and cached in
-``bench_baseline.json`` keyed by a workload fingerprint — changing the
-workload invalidates the cache). North-star target: vs_baseline >= 5
-(BASELINE.json).
+2. Windowed BA (kitti_ba-equivalent, `kitti_ba.cpp:757-905,1107`): the
+   batched multi-zeta LM solve over W=64 ws=3 windows whose constraints
+   come from a 129-frame corridor sequence (extracted once, cached in
+   ``bench_ba_workload.npz`` keyed by the workload fingerprint — the
+   bench times the SOLVE, both sides seeing identical constraints).
+   Reports ba_windows_per_s and ba_iters_per_s.
+   Baseline: the native windowed multi-zeta LM (lm_ref.cpp
+   epivo_lm_windowed) looped serially on ONE pinned core
+   (`baselines/native_ba.py`).
 
-A per-stage device breakdown (ms/frame) is written to
-``bench_stages.json`` and included in the JSON line.
+Baselines are measured on demand and cached in ``bench_baseline.json``
+keyed by the workload fingerprint; any workload/methodology change bumps
+the fingerprint and re-measures. The methodology block (iteration counts)
+is recorded inside bench_stages.json (ADVICE r2).
 
 Usage:
-  python bench.py            # TPU measure + cached cv2 baseline
+  python bench.py            # TPU measure + cached baselines
 """
 
 from __future__ import annotations
@@ -41,31 +44,50 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+BA_WORKLOAD_CACHE = os.path.join(REPO, "bench_ba_workload.npz")
 # Long scans amortize the host<->device relay's fixed ~25-30 ms program
 # round-trip (measured r2) so the numbers reflect what the DEVICE
 # sustains, as in a production frame stream, not the relay tax.
 N_ITERS = 64          # frames per timed program (latency mode)
 N_BATCH = 8           # pairs per dispatch (batched mode)
 N_BATCH_ITERS = 16    # scan length in batched mode
+N_BA_ITERS = 8        # batched-BA solves per timed program
 N_REPS = 3
 
-# Workload fingerprint: any change invalidates the cached baseline
-# (VERDICT r1 weak #9 — a stale cache must not pin an old baseline).
+# Workload fingerprint: any change invalidates the cached baselines and
+# the cached BA constraints (VERDICT r1 weak #9).
 WORKLOAD = {
-    "image": [376, 1241], "n_scene_pts": 400, "kp_budget": 512,
-    "ransac_hyp": 512, "lm_points": 48, "baseline": "cv2+native-lm-1core",
-    "version": 2,
+    "image": [376, 1241], "texture": "photoreal-corridor",
+    "kp_budget": 512, "ransac_hyp": 512, "lm_points": 48,
+    "baseline": "cv2+native-lm-1core",
+    "ba": {"windows": 64, "ws": 3, "n_points": 32, "max_iters": 30,
+           "frames": 129, "baseline": "native-windowed-lm-1core"},
+    "method": {"n_iters": N_ITERS, "n_batch": N_BATCH,
+               "n_batch_iters": N_BATCH_ITERS, "n_ba_iters": N_BA_ITERS,
+               "n_reps": N_REPS},
+    "version": 3,
 }
+
+BA_F = WORKLOAD["ba"]["frames"]
+
+
+def _corridor_camera():
+    import numpy as np
+
+    from epivo_tpu.geometry import camera
+
+    H, W = WORKLOAD["image"]
+    return camera.Pinhole(fx=718.856, fy=718.856, cx=W / 2.0, cy=H / 2.0,
+                          width=W, height=H)
 
 
 def _config():
-    from epivo_tpu.geometry import camera
     from epivo_tpu.pipeline.config import (
         FrontendConfig, LMConfig, RansacConfig, VOConfig,
     )
 
     return VOConfig(
-        camera=camera.KITTI_00,
+        camera=_corridor_camera(),
         frontend=FrontendConfig(fast_threshold=40.0, max_keypoints=512,
                                 klt_levels=4),
         ransac=RansacConfig(n_hyp=512),
@@ -73,47 +95,67 @@ def _config():
     )
 
 
+def _ba_config():
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig,
+    )
+
+    bw = WORKLOAD["ba"]
+    return BAConfig(
+        camera=_corridor_camera(),
+        frontend=FrontendConfig(fast_threshold=40.0, max_keypoints=512,
+                                klt_levels=4),
+        ransac=RansacConfig(n_hyp=512),
+        lm=LMConfig(n_points=bw["n_points"], max_iters=bw["max_iters"],
+                    revert_r_norm=1e-2),
+        window_size=bw["ws"], stride=bw["ws"] - 1,
+    )
+
+
 def render_bench_frames():
-    """Deterministic KITTI-sized frame pair (blob texture under forward
-    motion). Shared with the cv2 baseline so both execution models see the
-    SAME pixels. Returns (img0, img1, K) as host numpy arrays."""
-    import jax
-    import jax.numpy as jnp
+    """Deterministic corridor frame pair at KITTI resolution (photoreal
+    texture, forward motion). Shared with the cv2 baseline so both
+    execution models see the SAME pixels. Returns (img0, img1, K)."""
     import numpy as np
 
-    from epivo_tpu.geometry import camera, se3
+    from epivo_tpu.datasets import photoreal
 
-    cfg = _config()
-    H, W = camera.KITTI_00.height, camera.KITTI_00.width
-    key = jax.random.PRNGKey(0)
-    k1, k2, _ = jax.random.split(key, 3)
-    n_pts = WORKLOAD["n_scene_pts"]
-    z = jax.random.uniform(k1, (n_pts,), minval=6.0, maxval=40.0)
-    xy = jax.random.uniform(k2, (n_pts, 2), minval=-0.8, maxval=0.8) * z[:, None]
-    X = jnp.concatenate([xy, z[:, None]], axis=-1)
-    T_gt = se3.se3_exp(jnp.array([0.04, -0.02, 0.8, 0.004, -0.01, 0.003]))
-    K = cfg.camera.K()
-
-    def render(T):
-        R, t = se3.matrix_to_rt(T)
-        Xc = X @ R.T + t
-        uv = (Xc / Xc[:, 2:3]) @ K.T
-        yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
-        img = jnp.zeros((H, W), jnp.float32)
-        for i0 in range(0, n_pts, 100):  # chunked additive rasterization
-            u = uv[i0 : i0 + 100, 0][:, None, None]
-            v = uv[i0 : i0 + 100, 1][:, None, None]
-            img += jnp.sum(
-                200.0 * jnp.exp(-((xx[None] - u) ** 2 + (yy[None] - v) ** 2)
-                                / (2 * 1.5**2)),
-                axis=0,
-            )
-        return jnp.clip(img, 0, 255)
-
-    img0 = np.asarray(jax.block_until_ready(render(se3.identity())))
-    img1 = np.asarray(jax.block_until_ready(render(T_gt)))
+    H, W = WORKLOAD["image"]
+    frames, gt, K = photoreal.corridor_sequence(2, H=H, W=W, seed=0)
+    it = iter(frames)
+    img0 = np.asarray(next(it), np.float32)
+    img1 = np.asarray(next(it), np.float32)
     return img0, img1, np.asarray(K)
+
+
+def build_ba_workload():
+    """W ws=3 windows of real extracted constraints from a corridor
+    sequence; cached (the bench times the SOLVE, not the extraction)."""
+    import numpy as np
+
+    if os.path.exists(BA_WORKLOAD_CACHE):
+        z = np.load(BA_WORKLOAD_CACHE, allow_pickle=True)
+        if json.loads(str(z["workload"])) == WORKLOAD:
+            return {k: z[k] for k in
+                    ("T0s", "p", "p_t", "wreps", "pmask", "reps")}
+
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.pipeline import runners
+
+    H, W = WORKLOAD["image"]
+    frames, gt, K = photoreal.corridor_sequence(BA_F, H=H, W=W, seed=0)
+    win = runners.prepare_mono_windows(frames, _ba_config(), gt_poses=gt,
+                                       n_frames=BA_F)
+    n_w = WORKLOAD["ba"]["windows"]
+    assert len(win.anchors) >= n_w, (len(win.anchors), n_w)
+    data = {
+        "T0s": win.T0s[:n_w], "p": win.p[:n_w], "p_t": win.p_t[:n_w],
+        "wreps": win.wreps[:n_w], "pmask": win.pmask[:n_w],
+        "reps": np.asarray(win.spec.reps),
+    }
+    np.savez_compressed(BA_WORKLOAD_CACHE, workload=json.dumps(WORKLOAD),
+                        **data)
+    return data
 
 
 def _timed(fn, *args):
@@ -174,6 +216,40 @@ def measure_batched(step, img0, img1, key):
 
     t = _timed(jax.jit(many), img0, img1, key)
     return N_BATCH * N_BATCH_ITERS / t
+
+
+def measure_ba(ba_data):
+    """Batched windowed-BA solve rate on the chip: W windows per
+    ``ba_windows`` call, N_BA_ITERS calls per timed program with a data
+    dependency through the pose inits."""
+    import jax
+    import jax.numpy as jnp
+
+    from epivo_tpu.pipeline import ba as ba_mod
+
+    cfg = _ba_config()
+    spec = ba_mod.mono_window_spec(cfg.window_size)
+    T0s = jnp.asarray(ba_data["T0s"])
+    p = jnp.asarray(ba_data["p"])
+    p_t = jnp.asarray(ba_data["p_t"])
+    wreps = jnp.asarray(ba_data["wreps"])
+    pmask = jnp.asarray(ba_data["pmask"])
+    W = int(T0s.shape[0])
+
+    def many(T0s_in):
+        def body(carry, _):
+            T = T0s_in.at[:, :, :3, 3].add(carry * 1e-9)
+            out = ba_mod.ba_windows(T, spec, p, p_t, wreps=wreps,
+                                    pmask=pmask, config=cfg)
+            return jnp.sum(out.T_opt) * 1e-12, None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_BA_ITERS)
+        return s
+
+    t = _timed(jax.jit(many), T0s)
+    windows_per_s = W * N_BA_ITERS / t
+    iters_per_s = windows_per_s * cfg.lm.max_iters
+    return windows_per_s, iters_per_s
 
 
 def measure_stages(config, img0, img1, key):
@@ -245,28 +321,54 @@ def measure_stages(config, img0, img1, key):
     return {k: round(v, 3) for k, v in stages.items()}
 
 
-def cv2_baseline_fps() -> float:
+def _load_baseline_cache():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         if cached.get("workload") == WORKLOAD:
-            return cached["cv2_fps"]
-    script = os.path.join(REPO, "baselines", "cv2_kitti_e.py")
-    cmd = ["taskset", "-c", "0", sys.executable, script]
+            return cached
+    return {"workload": WORKLOAD}
+
+
+def _save_baseline_cache(cached):
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cached, f, indent=1)
+
+
+def _run_pinned(script, extra_args=()):
+    cmd = ["taskset", "-c", "0", sys.executable,
+           os.path.join(REPO, "baselines", script), *extra_args]
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"  # frame rendering inside the child
+    env["JAX_PLATFORMS"] = "cpu"  # any rendering inside the child is host
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=REPO, timeout=3600)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"baseline failed: {out.stderr[-500:]}")
-    fps = json.loads(lines[-1])["cv2_fps"]
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"cv2_fps": fps, "workload": WORKLOAD,
-                   "note": "reference execution model: OpenCV C++ frontend "
-                           "+ native C++ LM, 1 pinned core "
-                           "(baselines/cv2_kitti_e.py)"}, f, indent=1)
-    return fps
+    return json.loads(lines[-1])
+
+
+def cv2_baseline_fps() -> float:
+    cached = _load_baseline_cache()
+    if "cv2_fps" not in cached:
+        cached["cv2_fps"] = _run_pinned("cv2_kitti_e.py")["cv2_fps"]
+        cached["cv2_note"] = ("reference execution model: OpenCV C++ "
+                              "frontend + native C++ LM, 1 pinned core")
+        _save_baseline_cache(cached)
+    return cached["cv2_fps"]
+
+
+def native_ba_baseline() -> dict:
+    cached = _load_baseline_cache()
+    if "ba_windows_per_s" not in cached:
+        res = _run_pinned("native_ba.py", (BA_WORKLOAD_CACHE,))
+        cached["ba_windows_per_s"] = res["ba_windows_per_s"]
+        cached["ba_iters_per_s"] = res["ba_iters_per_s"]
+        cached["ba_note"] = ("native windowed multi-zeta LM (lm_ref.cpp), "
+                             "1 pinned core, serial windows")
+        _save_baseline_cache(cached)
+    return {"windows_per_s": cached["ba_windows_per_s"],
+            "iters_per_s": cached["ba_iters_per_s"]}
 
 
 def main():
@@ -282,19 +384,28 @@ def main():
 
     batched_fps = measure_batched(step, img0, img1, key)
     latency_fps = measure_latency(step, img0, img1, key)
+    ba_data = build_ba_workload()
+    ba_windows_per_s, ba_iters_per_s = measure_ba(ba_data)
     stages = measure_stages(config, img0, img1, key)
     with open(os.path.join(REPO, "bench_stages.json"), "w") as f:
         json.dump({"stages_ms_per_frame": stages,
                    "batched_fps": round(batched_fps, 3),
                    "latency_fps": round(latency_fps, 3),
+                   "ba_windows_per_s": round(ba_windows_per_s, 3),
                    "batch": N_BATCH, "workload": WORKLOAD}, f, indent=1)
 
+    vs = vs_ba = -1.0
+    base = base_ba = None
     try:
         base = cv2_baseline_fps()
+        vs = batched_fps / base
     except Exception as e:  # baseline failure must not kill the bench
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
-        base = None
-    vs = (batched_fps / base) if base else -1.0
+        print(f"cv2 baseline failed: {e}", file=sys.stderr)
+    try:
+        base_ba = native_ba_baseline()
+        vs_ba = ba_windows_per_s / base_ba["windows_per_s"]
+    except Exception as e:
+        print(f"native BA baseline failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "vo_frames_per_s_per_chip",
         "value": round(batched_fps, 3),
@@ -302,6 +413,13 @@ def main():
         "vs_baseline": round(vs, 3),
         "latency_fps": round(latency_fps, 3),
         "baseline_fps": round(base, 3) if base else None,
+        "ba_windows_per_s": round(ba_windows_per_s, 3),
+        "ba_iters_per_s": round(ba_iters_per_s, 3),
+        "vs_baseline_ba": round(vs_ba, 3),
+        "ba_baseline_windows_per_s": (
+            round(base_ba["windows_per_s"], 3) if base_ba else None),
+        "ba_baseline_iters_per_s": (
+            round(base_ba["iters_per_s"], 3) if base_ba else None),
         "stages_ms": stages,
     }))
 

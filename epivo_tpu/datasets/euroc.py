@@ -278,6 +278,14 @@ class EurocSequence:
                               EUROC_CAM1_K, EUROC_CAM1_DIST, EUROC_T_BS_CAM1,
                               shape)
 
+    def stereo_timestamps(self, start: int = 0, stop: int | None = None):
+        """Timestamps of the matched stereo pairs that
+        :meth:`rectified_stereo_frames` will yield (no image decode)."""
+        cam1 = dataclasses.replace(self, cam="cam1")
+        ts1 = {ts for ts, _ in cam1.image_list()}
+        picked = [ts for ts, _ in self.image_list() if ts in ts1]
+        return picked[start:stop]
+
     def rectified_stereo_frames(self, start: int = 0, stop: int | None = None):
         """Yield (timestamp, rectified_cam0, rectified_cam1) triples for
         timestamp-matched stereo pairs (EuRoC cameras are hardware-synced;

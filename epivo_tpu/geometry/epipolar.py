@@ -161,7 +161,9 @@ def residual_jacobian(
     rev = jnp.asarray(reverse)
     sign = jnp.where(rev, -1.0, 1.0).astype(dtype)
 
-    T0 = Tl @ Tr
+    # mul44, not @: the TPU compiler mis-lowers tiny batched dots under
+    # nested vmap + scan (see se3.mul44).
+    T0 = se3.mul44(Tl, Tr)
     R0 = T0[..., :3, :3]
     t0 = T0[..., :3, 3]
 

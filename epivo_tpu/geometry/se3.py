@@ -154,6 +154,17 @@ def identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.eye(4, dtype=dtype), tuple(batch_shape) + (4, 4))
 
 
+def mul44(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4x4 matrix product as broadcast-multiply + sum.
+
+    For tiny matrices a ``dot_general`` wastes the MXU, and the TPU
+    compiler mis-lowers it to a dilated convolution with a wrong shape
+    under nested vmap + scan (hit at r3 in the batched windowed-BA solve);
+    mul+sum stays on the VPU and lowers robustly.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def generators(dtype=jnp.float32) -> jnp.ndarray:
     """The 6 generators of se(3) as a [6, 4, 4] tensor.
 

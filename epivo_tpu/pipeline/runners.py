@@ -680,40 +680,36 @@ def run_gt_triangulation_sequence(
     )
 
 
-def run_ba_sequence(
+class MonoWindows(NamedTuple):
+    """Assembled mono-BA window tensors (stage 1 output; input to the
+    batched LM solve and to the BA benchmark, which times only the solve)."""
+
+    F: int
+    anchors: list
+    spec: ba_mod.WindowSpec
+    T0s: np.ndarray  # [W, Z, 4, 4]
+    p: np.ndarray  # [W, R, N, 3]
+    p_t: np.ndarray  # [W, R, N, 3]
+    wreps: np.ndarray  # [W, R]
+    pmask: np.ndarray  # [W, R, N]
+    c_scale: np.ndarray  # [F-1] no-GT relative scales (ones with GT)
+    pair_data: dict
+
+
+def prepare_mono_windows(
     frames: Iterable[np.ndarray],
     config: BAConfig,
     gt_poses: np.ndarray | None = None,
     seed: int = 0,
-    checkpoint_dir: str | None = None,
-    checkpoint_every: int = 64,
+    ckpt=None,
     use_orb: bool = False,
     n_frames: int | None = None,
-    metrics_path: str | None = None,
+    mlog=None,
     batch: int = 8,
-) -> SequenceResult:
-    """Windowed mono BA over a frame sequence (ref `kitti_ba` mono path).
-
-    ``use_orb`` switches pair initialization from KLT tracking to ORB
-    descriptor matching — the reference's `really_robust_ass` window
-    orchestrator (`kitti_ba.cpp:584-754`).
-
-    Stage 1 (this function, two-view): per window, constraints for the
-    frame pairs in ``ba.mono_window_spec`` are initialized with the VO step
-    (the reference's `_initializer`, `kitti_ba.cpp:280-349`).
-    Stage 2: all windows solve in ONE batched LM call.
-
-    Frames stream through a bounded buffer (the reference streams from
-    disk too): pass a generator plus ``n_frames`` (or any sized sequence)
-    and only the current window span stays in RAM. An unsized generator
-    without ``n_frames`` is materialized (legacy behavior).
-    ``metrics_path`` streams per-batch extraction stats and per-window LM
-    health (r_norm / reverted / n_accepted — the reference printed these,
-    `kitti_ba.cpp:884-894`) as JSONL.
-    """
-    from epivo_tpu.utils import profiling
-
-    mlog = profiling.MetricsLogger(metrics_path)
+) -> MonoWindows:
+    """Stage 1 of windowed mono BA: streamed pair extraction + window
+    tensor assembly (the reference's matcher thread + window packing,
+    `kitti_ba.cpp:352-581,757-870`). See :func:`run_ba_sequence`."""
     fs = stream.FrameStream(frames, n_frames)
     if not fs.sized:
         fs.materialize()
@@ -739,12 +735,6 @@ def run_ba_sequence(
         last = anchors[-1] + ws - 1
         need |= {(b, b - 1) for b in range(1, min(F - 1, last))}
     pairs = sorted(need)
-    ckpt = None
-    if checkpoint_dir:
-        from epivo_tpu.utils import checkpoint as ckpt_mod
-
-        ckpt = ckpt_mod.SequenceCheckpointer(checkpoint_dir,
-                                             every=checkpoint_every)
     pair_data = _extract_pairs(fs, pairs, vo_cfg, seed,
                                n_points=config.lm.n_points, ckpt=ckpt,
                                use_orb=use_orb, mlog=mlog, batch=batch)
@@ -786,10 +776,61 @@ def run_ba_sequence(
             if (gi, gj) in pair_data:
                 T0s[w, z] = pair_data[(gi, gj)]["T"].copy()
                 T0s[w, z, :3, 3] *= c_scale[gi]
+    return MonoWindows(F=F, anchors=anchors, spec=spec, T0s=T0s, p=p,
+                       p_t=p_t, wreps=wreps, pmask=pmask, c_scale=c_scale,
+                       pair_data=pair_data)
+
+
+def run_ba_sequence(
+    frames: Iterable[np.ndarray],
+    config: BAConfig,
+    gt_poses: np.ndarray | None = None,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 64,
+    use_orb: bool = False,
+    n_frames: int | None = None,
+    metrics_path: str | None = None,
+    batch: int = 8,
+) -> SequenceResult:
+    """Windowed mono BA over a frame sequence (ref `kitti_ba` mono path).
+
+    ``use_orb`` switches pair initialization from KLT tracking to ORB
+    descriptor matching — the reference's `really_robust_ass` window
+    orchestrator (`kitti_ba.cpp:584-754`).
+
+    Stage 1 (:func:`prepare_mono_windows`): per window, constraints for
+    the frame pairs in ``ba.mono_window_spec`` are initialized with the VO
+    step (the reference's `_initializer`, `kitti_ba.cpp:280-349`).
+    Stage 2: all windows solve in ONE batched LM call.
+
+    Frames stream through a bounded buffer (the reference streams from
+    disk too): pass a generator plus ``n_frames`` (or any sized sequence)
+    and only the current window span stays in RAM. An unsized generator
+    without ``n_frames`` is materialized (legacy behavior).
+    ``metrics_path`` streams per-batch extraction stats and per-window LM
+    health (r_norm / reverted / n_accepted — the reference printed these,
+    `kitti_ba.cpp:884-894`) as JSONL.
+    """
+    from epivo_tpu.utils import profiling
+
+    mlog = profiling.MetricsLogger(metrics_path)
+    ckpt = None
+    if checkpoint_dir:
+        from epivo_tpu.utils import checkpoint as ckpt_mod
+
+        ckpt = ckpt_mod.SequenceCheckpointer(checkpoint_dir,
+                                             every=checkpoint_every)
+    win = prepare_mono_windows(frames, config, gt_poses=gt_poses, seed=seed,
+                               ckpt=ckpt, use_orb=use_orb, n_frames=n_frames,
+                               mlog=mlog, batch=batch)
+    F = win.F
+    anchors, spec, c_scale = win.anchors, win.spec, win.c_scale
 
     out = ba_mod.ba_windows(
-        jnp.asarray(T0s), spec, jnp.asarray(p), jnp.asarray(p_t),
-        wreps=jnp.asarray(wreps), pmask=jnp.asarray(pmask), config=config,
+        jnp.asarray(win.T0s), spec, jnp.asarray(win.p), jnp.asarray(win.p_t),
+        wreps=jnp.asarray(win.wreps), pmask=jnp.asarray(win.pmask),
+        config=config,
     )
     _log_windows(mlog, anchors, out)
     mlog.close()

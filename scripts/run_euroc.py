@@ -1,15 +1,24 @@
-"""Run monocular VO on a EuRoC MAV sequence (ref euroc_E driver,
-`euroc_E.cpp:89-388`): undistorted cam0 stream -> two-view VO with
-timestamp-associated GT scale -> trajectory + ATE + artifacts.
+"""Run VO / stereo BA on a EuRoC MAV sequence.
+
+--mode vo (default): ref euroc_E driver (`euroc_E.cpp:89-388`) —
+undistorted cam0 stream -> two-view VO with timestamp-associated GT scale
+-> trajectory + ATE + artifacts.
+
+--mode stereo: fully rectified cam0/cam1 pairs (Bouguet split-rotation
+rectification, the full-stereo counterpart of the reference's cam0-only
+maps `euroc.cpp:104-111`) -> windowed stereo BA with the calibrated
+baseline providing metric scale (no GT in the estimation path); streamed
+with bounded memory.
 
 Usage:
   python scripts/run_euroc.py --root /path/to/V2_01_easy --frames 500 \
-      --out out/euroc_v201
+      --out out/euroc_v201 [--mode vo|stereo]
 """
 
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -20,6 +29,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="EuRoC sequence dir (contains mav0/)")
+    ap.add_argument("--mode", choices=["vo", "stereo"], default="vo")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8)
@@ -46,6 +56,10 @@ def main():
     if not seq.exists():
         print(f"ERROR: sequence not found at {seq.cam_dir}", file=sys.stderr)
         sys.exit(2)
+
+    if args.mode == "stereo":
+        run_stereo(args, seq)
+        return
 
     stop = args.start + args.frames if args.frames else None
     stamped = list(seq.undistorted_frames(args.start, stop))
@@ -89,6 +103,80 @@ def main():
                            ("gt", res.gt_trajectory)] if v is not None},
     )
     summary = {"frames": len(frames), "ate_m": res.ate, "rpe_t": res.rpe_t}
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+def run_stereo(args, seq):
+    """Rectified stereo pairs -> windowed stereo BA (metric scale from the
+    calibrated baseline; GT used for evaluation only)."""
+    import jax  # noqa: F401  (platform configured by caller)
+
+    from epivo_tpu.datasets import euroc
+    from epivo_tpu.eval import metrics as ev
+    from epivo_tpu.geometry.camera import Pinhole
+    from epivo_tpu.pipeline import runners
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig,
+    )
+    from epivo_tpu.viz import export
+
+    stop = args.start + args.frames if args.frames else None
+    ts = seq.stereo_timestamps(args.start, stop)
+    if len(ts) < 3:
+        print("ERROR: not enough matched stereo pairs", file=sys.stderr)
+        sys.exit(2)
+    # Rectification geometry (one probe image for the shape).
+    probe = seq.load_image(seq.image_list()[0][1])
+    _, _, K_new, T_rig, Rrect0 = seq.stereo_rectification(probe.shape)
+    H, W = probe.shape
+    cam = Pinhole(fx=float(K_new[0, 0]), fy=float(K_new[1, 1]),
+                  cx=float(K_new[0, 2]), cy=float(K_new[1, 2]),
+                  width=W, height=H)
+
+    # ONE decode pass, bounded memory: tee the triple stream; the stereo
+    # runner consumes L/R alternately so the tee buffer stays at one item.
+    t1, t2 = itertools.tee(seq.rectified_stereo_frames(args.start, stop))
+    L = (l for _, l, _ in t1)
+    R = (r for _, _, r in t2)
+
+    cfg = BAConfig(
+        camera=cam,
+        frontend=FrontendConfig(fast_threshold=20.0, max_keypoints=1024),
+        ransac=RansacConfig(n_hyp=512, threshold_px=0.3),
+        lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+    )
+    os.makedirs(args.out, exist_ok=True)
+    res = runners.run_stereo_ba_sequence(
+        L, R, cfg, T_rig=T_rig, n_frames=len(ts),
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+    )
+
+    # GT (evaluation only): cam0 poses mapped into the rectified frame.
+    summary = {"mode": "stereo", "frames": len(ts),
+               "baseline_m": float(-T_rig[0, 3]),
+               "windows_reverted": int(res.per_frame["window_reverted"].sum())}
+    try:
+        gt_ts, gt_cam0 = seq.load_gt_cam0()
+        idx = euroc.associate(np.asarray(ts, np.int64), gt_ts)
+        if np.all(idx >= 0):
+            R_r = np.eye(4)
+            R_r[:3, :3] = Rrect0.T  # world-from-rect = world-from-cam0 @ R^T
+            gt = gt_cam0[idx] @ R_r[None]
+            gt = np.linalg.inv(gt[0])[None] @ gt
+            n = min(len(gt), res.trajectory.shape[0])
+            # Metric (NO scale alignment): the baseline must supply scale.
+            summary["ate_m"] = float(ev.ate_rmse(
+                res.trajectory[:n], gt[:n], align=True, with_scale=False))
+            summary["rpe_t"] = float(ev.rpe(res.trajectory[:n], gt[:n])[0])
+            export.write_poses(os.path.join(args.out, "euroc.GT"), gt[:n])
+    except OSError:
+        summary["ate_m"] = None
+
+    export.write_poses(os.path.join(args.out, "euroc.T"), res.trajectory)
+    export.plot_trajectories(os.path.join(args.out, "traj.png"),
+                             {"est": res.trajectory})
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

