@@ -108,6 +108,7 @@ def ba_windows(
     wreps: jnp.ndarray | None = None,
     pmask: jnp.ndarray | None = None,
     config: BAConfig = BAConfig(),
+    use_lanes: bool = True,
 ) -> BAWindowsResult:
     """Batched windowed BA.
 
@@ -117,6 +118,10 @@ def ba_windows(
       p, p_t: [W, R, N, 3] normalized matches per window constraint.
       wreps: [W, R] constraint weights.
       pmask: [W, R, N] point validity.
+      use_lanes: solve with the lane-major LM (``optim.lm_lanes``) —
+        identical semantics, ~20-30x the throughput of the vmapped
+        reference-layout solver on TPU (its trailing tiny dims pay ~85x
+        tile-padding inflation; see lm_lanes module docstring).
 
     Underfilled constraints should be zero-weighted by the caller
     (ref `kitti_ba.cpp:821-826`); windows whose final residual norm exceeds
@@ -124,21 +129,31 @@ def ba_windows(
     (ref `kitti_ba.cpp:892-894,1055-1057`).
     """
     lc = config.lm
-    reps = jnp.asarray(spec.reps)
-    zmask = None if spec.zeta_mask is None else jnp.asarray(spec.zeta_mask)
+    if use_lanes:
+        from epivo_tpu.optim import lm_lanes
 
-    def solve_one(T0, pp, pt, w, pm):
-        return lm.solve(
-            T0, reps, pp, pt, wreps=w, pmask=pm, zeta_mask=zmask,
-            lambda0=lc.lambda0, epsilon=lc.epsilon, max_iters=lc.max_iters,
-            huber_delta=lc.huber_delta,
+        res = lm_lanes.solve_batched_lanes(
+            T0s, spec.reps, p, p_t, wreps=wreps, pmask=pmask,
+            zeta_mask=spec.zeta_mask, lambda0=lc.lambda0, epsilon=lc.epsilon,
+            max_iters=lc.max_iters, huber_delta=lc.huber_delta,
         )
+    else:
+        reps = jnp.asarray(spec.reps)
+        zmask = (None if spec.zeta_mask is None
+                 else jnp.asarray(spec.zeta_mask))
 
-    res = jax.vmap(
-        solve_one,
-        in_axes=(0, 0, 0, 0 if wreps is not None else None,
-                 0 if pmask is not None else None),
-    )(T0s, p, p_t, wreps, pmask)
+        def solve_one(T0, pp, pt, w, pm):
+            return lm.solve(
+                T0, reps, pp, pt, wreps=w, pmask=pm, zeta_mask=zmask,
+                lambda0=lc.lambda0, epsilon=lc.epsilon,
+                max_iters=lc.max_iters, huber_delta=lc.huber_delta,
+            )
+
+        res = jax.vmap(
+            solve_one,
+            in_axes=(0, 0, 0, 0 if wreps is not None else None,
+                     0 if pmask is not None else None),
+        )(T0s, p, p_t, wreps, pmask)
 
     reverted = res.r_norm > lc.revert_r_norm
     T_opt = jnp.where(reverted[:, None, None, None], T0s, res.T0s)

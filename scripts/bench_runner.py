@@ -1,0 +1,88 @@
+"""End-to-end sequence-runner throughput (VERDICT r2 missing #3 evidence).
+
+``bench.py`` measures the pure device rate of the fused VO step; this
+script measures what :func:`runners.run_vo_sequence` actually sustains
+end-to-end — host batching, H2D upload, one-deep dispatch pipelining,
+D2H fetch, checkpoint-free — over pre-rendered in-memory corridor frames
+(render cost excluded: it is fixture generation, not pipeline work; real
+deployments decode PNGs through the native loader's background threads).
+
+Writes RUNNER_BENCH.json at the repo root; commit it.
+
+Usage: python scripts/bench_runner.py [--frames N] [--batch B] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=129)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import bench
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.pipeline import runners
+
+    cfg = bench._config()
+    H, W = bench.WORKLOAD["image"]
+    gen, gt, _ = photoreal.corridor_sequence(args.frames, H=H, W=W, seed=0)
+    frames = [np.asarray(f, np.float32) for f in gen]
+
+    # Warm run compiles the batched step (and the padded tail program is
+    # the same program by construction).
+    runners.run_vo_sequence(frames[: args.batch + 1], cfg, batch=args.batch,
+                            collect_cloud=False)
+
+    t0 = time.perf_counter()
+    res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
+                                  batch=args.batch, collect_cloud=False)
+    wall = time.perf_counter() - t0
+    n_pairs = len(frames) - 1
+    fps = n_pairs / wall
+
+    device_fps = None
+    stages_path = os.path.join(REPO, "bench_stages.json")
+    if os.path.exists(stages_path):
+        with open(stages_path) as f:
+            device_fps = json.load(f).get("batched_fps")
+
+    out = {
+        "runner": "run_vo_sequence",
+        "frames": len(frames),
+        "batch": args.batch,
+        "end_to_end_fps": round(fps, 2),
+        "device_batched_fps": device_fps,
+        "fraction_of_device_rate": (
+            round(fps / device_fps, 3) if device_fps else None),
+        "ate_m": round(float(res.ate), 4) if res.ate is not None else None,
+        "platform": jax.devices()[0].platform,
+        "note": "pre-rendered in-memory frames; dispatch pipelined one "
+                "deep (stream.PipelinedDispatch)",
+    }
+    with open(os.path.join(REPO, "RUNNER_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
