@@ -60,12 +60,13 @@ WORKLOAD = {
     "image": [376, 1241], "texture": "photoreal-corridor",
     "kp_budget": 512, "ransac_hyp": 512, "lm_points": 48,
     "baseline": "cv2+native-lm-1core",
-    "ba": {"windows": 64, "ws": 3, "n_points": 32, "max_iters": 30,
-           "frames": 129, "baseline": "native-windowed-lm-1core"},
+    "ba": {"windows": 512, "unique_windows": 64, "ws": 3, "n_points": 32,
+           "max_iters": 30, "frames": 129,
+           "baseline": "native-windowed-lm-1core"},
     "method": {"n_iters": N_ITERS, "n_batch": N_BATCH,
                "n_batch_iters": N_BATCH_ITERS, "n_ba_iters": N_BA_ITERS,
                "n_reps": N_REPS},
-    "version": 3,
+    "version": 4,
 }
 
 BA_F = WORKLOAD["ba"]["frames"]
@@ -130,7 +131,9 @@ def render_bench_frames():
 
 def build_ba_workload():
     """W ws=3 windows of real extracted constraints from a corridor
-    sequence; cached (the bench times the SOLVE, not the extraction)."""
+    sequence, tiled to the chip-filling window count (both sides solve
+    the SAME tensors); cached — the bench times the SOLVE, not the
+    extraction."""
     import numpy as np
 
     if os.path.exists(BA_WORKLOAD_CACHE):
@@ -146,13 +149,26 @@ def build_ba_workload():
     frames, gt, K = photoreal.corridor_sequence(BA_F, H=H, W=W, seed=0)
     win = runners.prepare_mono_windows(frames, _ba_config(), gt_poses=gt,
                                        n_frames=BA_F)
-    n_w = WORKLOAD["ba"]["windows"]
-    assert len(win.anchors) >= n_w, (len(win.anchors), n_w)
+    bw = WORKLOAD["ba"]
+    n_u = bw["unique_windows"]
+    assert len(win.anchors) >= n_u, (len(win.anchors), n_u)
     data = {
-        "T0s": win.T0s[:n_w], "p": win.p[:n_w], "p_t": win.p_t[:n_w],
-        "wreps": win.wreps[:n_w], "pmask": win.pmask[:n_w],
+        "T0s": win.T0s[:n_u], "p": win.p[:n_u], "p_t": win.p_t[:n_u],
+        "wreps": win.wreps[:n_u], "pmask": win.pmask[:n_u],
         "reps": np.asarray(win.spec.reps),
     }
+    # Tile the real windows to the measured count with per-copy translation
+    # jitter (no two windows are identical programs/data; a production
+    # stream holds many windows in flight, so throughput is measured at a
+    # chip-filling batch).
+    mult = bw["windows"] // n_u
+    if mult > 1:
+        rng = np.random.default_rng(0)
+        for k in ("T0s", "p", "p_t", "wreps", "pmask"):
+            data[k] = np.concatenate([data[k]] * mult, axis=0)
+        data["T0s"] = data["T0s"].copy()
+        data["T0s"][:, :, :3, 3] += rng.normal(
+            0, 1e-6, data["T0s"][:, :, :3, 3].shape).astype(np.float32)
     np.savez_compressed(BA_WORKLOAD_CACHE, workload=json.dumps(WORKLOAD),
                         **data)
     return data
