@@ -43,6 +43,10 @@ class RansacConfig:
     outlier_ratio: float = 0.5  # design assumption for deriving n_hyp
     threshold_px: float = 1.0  # pixel threshold; normalized by fx at use
     method: str = "ransac"  # or "lmeds" (ref kitti_E uses LMEDS)
+    # Minimal solver: "8pt" (projected 8-point) or "5pt" (true batched
+    # Nister/Stewenius; the reference's OpenCV solver, `kitti_E.cpp:98-104`
+    # — needs only 5 inliers per sample, wins at high outlier ratios).
+    solver: str = "8pt"
     # Gauss-Newton refinement of E on its 5-DoF manifold after RANSAC —
     # the accuracy counterpart of OpenCV's Nistér 5-point solver
     # (ref `kitti_E.cpp:98-104`); see `essential.refine_essential`.
@@ -57,7 +61,9 @@ class RansacConfig:
             return self.n_hyp
         from epivo_tpu import ransac as _ransac
 
-        n = _ransac.n_iterations(self.confidence, self.outlier_ratio)
+        n = _ransac.n_iterations(self.confidence, self.outlier_ratio,
+                                 sample_size=5 if self.solver == "5pt"
+                                 else _ransac.MIN_SAMPLE)
         return int(min(max(128, -(-n // 128) * 128), 4096))
 
 

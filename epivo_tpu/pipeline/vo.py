@@ -78,7 +78,7 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
         key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=flow.status,
-        method=rc.method,
+        method=rc.method, solver=rc.solver,
     )
     E = rres.E
     if rc.refine_e:
@@ -180,7 +180,7 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
         key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=status,
-        method=rc.method,
+        method=rc.method, solver=rc.solver,
     )
     E = rres.E
     if rc.refine_e:

@@ -43,8 +43,10 @@ def n_iterations(confidence: float, outlier_ratio: float,
                                 / math.log(1.0 - min(w, 1 - 1e-12)))))
 
 
-def _sample_indices(key, n_hyp: int, N: int, mask: jnp.ndarray | None):
-    """[n_hyp, 8] sample indices, approx. without replacement, valid-only.
+def _sample_indices(key, n_hyp: int, N: int, mask: jnp.ndarray | None,
+                    sample_size: int = MIN_SAMPLE):
+    """[n_hyp, sample_size] sample indices, approx. without replacement,
+    valid-only.
 
     Gumbel-top-k over the validity mask: one sort per hypothesis, no
     data-dependent rejection loops.
@@ -52,7 +54,7 @@ def _sample_indices(key, n_hyp: int, N: int, mask: jnp.ndarray | None):
     g = jax.random.gumbel(key, (n_hyp, N))
     if mask is not None:
         g = jnp.where(mask[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, MIN_SAMPLE)
+    _, idx = jax.lax.top_k(g, sample_size)
     return idx
 
 
@@ -65,6 +67,7 @@ def ransac_essential(
     mask: jnp.ndarray | None = None,
     method: str = "ransac",
     refit: bool = True,
+    solver: str = "8pt",
 ) -> RansacResult:
     """Robust essential-matrix estimation over batched hypotheses.
 
@@ -77,6 +80,11 @@ def ransac_essential(
       method: "ransac" (inlier count) or "lmeds" (least median of squares,
         the reference's LMedS path `kitti_E.cpp:98-104`).
       refit: refit E on the winning inlier set (weighted 8-point).
+      solver: "8pt" (projected 8-point minimal sample) or "5pt" (the true
+        Nister/Stewenius minimal solver, `geometry/fivepoint.py` — each
+        5-point sample yields up to 10 candidate E, all scored; needs only
+        5 inliers per sample, which wins at high outlier ratios; the
+        reference's OpenCV path, `kitti_E.cpp:98-104`).
 
     Returns: :class:`RansacResult`.
     """
@@ -84,17 +92,27 @@ def ransac_essential(
     valid = mask if mask is not None else jnp.ones((N,), bool)
     n_valid = jnp.sum(valid)
 
-    idx = _sample_indices(key, n_hyp, N, mask)  # [n_hyp, 8]
-    p_s = p[idx]  # [n_hyp, 8, 3]
+    sample_size = 5 if solver == "5pt" else MIN_SAMPLE
+    idx = _sample_indices(key, n_hyp, N, mask, sample_size)
+    p_s = p[idx]  # [n_hyp, sample_size, 3]
     p_ts = p_t[idx]
-    # Hypotheses ARE projected to the essential manifold: besides matching
-    # OpenCV semantics, the projection regularizes near-degenerate minimal
-    # samples (forward motion / low parallax leave AtA with a ~3D near-null
-    # space, and the raw null vector is then unstable).
-    Es = essential.eight_point(p_s, p_ts, project=True)  # [n_hyp, 3, 3]
+    if solver == "5pt":
+        from epivo_tpu.geometry import fivepoint
 
-    err = essential.sampson_error(Es, p[None], p_t[None])  # [n_hyp, N]
-    err = jnp.where(valid[None, :], err, jnp.inf)
+        Es_c, hyp_ok = fivepoint.five_point(p_s, p_ts)  # [n_hyp, 10, 3, 3]
+        Es = Es_c.reshape(n_hyp * 10, 3, 3)
+        hyp_ok = hyp_ok.reshape(n_hyp * 10)
+    else:
+        # Hypotheses ARE projected to the essential manifold: besides
+        # matching OpenCV semantics, the projection regularizes
+        # near-degenerate minimal samples (forward motion / low parallax
+        # leave AtA with a ~3D near-null space, and the raw null vector is
+        # then unstable).
+        Es = essential.eight_point(p_s, p_ts, project=True)  # [n_hyp, 3, 3]
+        hyp_ok = jnp.ones((n_hyp,), bool)
+
+    err = essential.sampson_error(Es, p[None], p_t[None])  # [H, N]
+    err = jnp.where(valid[None, :] & hyp_ok[:, None], err, jnp.inf)
 
     if method == "lmeds":
         # Median over valid entries: sort and index at n_valid // 2.
