@@ -203,3 +203,45 @@ def corridor_sequence(
                                noise_sigma=noise_sigma, rng=frng)
 
     return frames(), gt, K
+
+
+def corridor_stereo_sequence(
+    F: int,
+    H: int = 376,
+    W: int = 1241,
+    K: np.ndarray | None = None,
+    baseline: float = 0.54,
+    scene: CorridorScene = CorridorScene(),
+    seed: int = 0,
+    **kwargs,
+):
+    """Stereo variant of :func:`corridor_sequence`: KITTI-style rig (right
+    camera at +x in the left frame; ``T_rig[0, 3] = -baseline``).
+
+    Returns (left_frames_iter, right_frames_iter, gt [F, 4, 4], K, T_rig).
+    The two iterators render lazily and independently (each own pass), so
+    streamed consumers keep bounded memory.
+    """
+    if K is None:
+        K = np.array([[718.856, 0, W / 2.0], [0, 718.856, H / 2.0],
+                      [0, 0, 1.0]])
+    _, gt, _ = corridor_sequence(F, H=H, W=W, K=K, scene=scene, seed=seed,
+                                 **kwargs)
+    T_rig = np.eye(4, dtype=np.float32)
+    T_rig[0, 3] = -baseline
+    textures = scene.textures()
+
+    def cam_frames(offset_x: float, rng_seed: int):
+        frng = np.random.default_rng(rng_seed)
+        for f in range(F):
+            expo = 1.0 + 0.15 * np.sin(0.05 * f)
+            bias = 4.0 * np.sin(0.03 * f + 1.0)
+            T_wc = gt[f].copy()
+            # Right camera center: c + R @ [baseline, 0, 0].
+            T_wc[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array(
+                [offset_x, 0.0, 0.0])
+            yield render_frame(scene, textures, K, T_wc, H, W,
+                               exposure=expo, bias=bias, rng=frng)
+
+    return (cam_frames(0.0, seed + 200), cam_frames(baseline, seed + 300),
+            gt, K, T_rig)

@@ -23,6 +23,8 @@ from tests.test_runners_datasets import CAM
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 def _quat_from_R(R):
     w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0

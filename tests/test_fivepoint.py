@@ -17,6 +17,8 @@ from epivo_tpu import ransac as rm
 from epivo_tpu.datasets import synthetic
 from epivo_tpu.geometry import essential, fivepoint, se3
 
+pytestmark = pytest.mark.slow
+
 
 def _sample_batch(key, S):
     ks = jax.random.split(key, S)

@@ -15,6 +15,8 @@ from epivo_tpu.datasets import synthetic
 from epivo_tpu.optim import lm, lm_lanes
 from epivo_tpu.pipeline import ba
 
+pytestmark = pytest.mark.slow
+
 
 def _windows(key, n_windows, spec, N=24, rot_noise=0.04, t_noise=0.08):
     scenes = [

@@ -12,6 +12,8 @@ import pytest
 from epivo_tpu.frontend import fast
 from epivo_tpu.frontend.pallas_fast import fast_score_map_pallas
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("shape", [(64, 96), (200, 300), (127, 255)])
 def test_pallas_fast_matches_xla(shape):
@@ -159,6 +161,7 @@ import jax, jax.numpy as jnp
 if jax.default_backend() != "tpu":
     sys.exit(42)
 from epivo_tpu.frontend.pallas_klt import _extract_windows_batched
+
 rng = np.random.default_rng(7)
 H, W, S, K = 376, 1241, 46, 512
 img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
