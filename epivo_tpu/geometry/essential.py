@@ -55,14 +55,14 @@ def smallest_eigvec_9(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     # Ridge keeps the factorization well-posed; for minimal 8-point samples
     # AtA is exactly rank-8, so the shift dominates only the null direction.
     M = AtA + 1e-7 * tr * jnp.eye(9, dtype=dtype)
-    L = jnp.linalg.cholesky(M)
-    # ONE batched solve materializes M^-1 (9 RHS at once); the power
-    # iterations are then pure batched matvecs — MXU work instead of
-    # ``iters`` dependent triangular-solve chains (the 9x9 inverse is safe
-    # here: the ridge bounds the condition number).
-    Minv = jax.scipy.linalg.cho_solve(
-        (L, True), jnp.broadcast_to(jnp.eye(9, dtype=dtype), M.shape)
-    )
+    # Materialize M^-1 once; the power iterations are then pure batched
+    # matvecs (the 9x9 inverse is safe here: the ridge bounds the
+    # condition number). The factorization is the unrolled small-SPD
+    # Cholesky — XLA's batched tiny cholesky/cho_solve lowers to slow
+    # loops on TPU (see optim/smallchol.py).
+    from epivo_tpu.optim import smallchol
+
+    Minv = smallchol.inv_spd_small(M)
     # Fixed start vector; the probability of orthogonality to the null
     # space for real data is zero (and scoring rejects any failure).
     v = jnp.ones(AtA.shape[:-2] + (9,), dtype) / 3.0
@@ -270,7 +270,9 @@ def refine_essential(
         r0 = res_of(jnp.zeros(5, E.dtype))
         J = jax.jacfwd(res_of)(jnp.zeros(5, E.dtype))  # [N, 5]
         H = J.T @ J + damping * jnp.eye(5, dtype=E.dtype)
-        delta = -jnp.linalg.solve(H, J.T @ r0)
+        from epivo_tpu.optim import smallchol
+
+        delta = -smallchol.solve_spd_small(H, J.T @ r0)
         r1 = res_of(delta)
         accept = jnp.sum(r1 * r1) < jnp.sum(r0 * r0)
         delta = jnp.where(accept, delta, jnp.zeros_like(delta))

@@ -213,7 +213,11 @@ def solve(
         # where any absolute floor would drown the actual curvature.
         h_scale = jnp.mean(diag) + 1e-30
         H_damped = H_damped + (1e-7 * h_scale) * jnp.eye(Z * 6, dtype=dtype)
-        delta = -jnp.linalg.solve(H_damped, b)
+        # Unrolled SPD Cholesky: XLA's batched tiny LU is the dominant cost
+        # of the whole solver on TPU (see optim/smallchol.py).
+        from epivo_tpu.optim import smallchol
+
+        delta = -smallchol.solve_spd_small(H_damped, b)
 
         nan_step = jnp.any(~jnp.isfinite(delta))
         small_step = jnp.linalg.norm(delta) < epsilon
