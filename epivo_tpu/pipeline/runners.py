@@ -15,6 +15,7 @@ pairs serially.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterable, NamedTuple
 
 import jax
@@ -37,14 +38,39 @@ class SequenceResult(NamedTuple):
     per_frame: dict  # diagnostics arrays
 
 
-def _batched_vo(config: VOConfig, batch: int):
-    """jit of vmapped vo_step over a batch of consecutive pairs."""
+# Jitted key splitter: the hot loops must not run EAGER jax ops (through
+# a remote-compile relay an eager op can cost seconds; jitted calls hit
+# the executable cache).
+@functools.partial(jax.jit, static_argnums=(1,))
+def _split_keys(key, n: int):
+    ks = jax.random.split(key, n + 1)
+    return ks[0], ks[1:]
+
+
+def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True):
+    """jit of vmapped vo_step over a batch of consecutive pairs.
+
+    Outputs are consolidated into few arrays (pose stack + one scalar
+    pack + optional cloud) so the host fetches 2-3 buffers per batch
+    instead of one per result field — each fetch is a device round trip.
+    """
 
     def run(frames, keys):
-        # frames [B+1, H, W] -> pairs (i, i+1)
+        # frames [B+1, H, W] (any dtype; cast on device) -> pairs (i, i+1)
+        frames = frames.astype(jnp.float32)
         src = frames[:-1]
         tgt = frames[1:]
-        return jax.vmap(lambda a, b, k: vo.vo_step(a, b, k, config))(src, tgt, keys)
+        res = jax.vmap(lambda a, b, k: vo.vo_step(a, b, k, config))(
+            src, tgt, keys)
+        scalars = jnp.stack([
+            res.n_tracked.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.r_norm,
+            res.reverted.astype(jnp.float32),
+        ], axis=-1)  # [B, 4]
+        if collect_cloud:
+            return res.T, scalars, res.points, res.points_valid
+        return res.T, scalars
 
     return jax.jit(run)
 
@@ -71,7 +97,7 @@ def run_vo_sequence(
     """
     from epivo_tpu.utils import checkpoint as ckpt_mod, profiling
 
-    step_fn = _batched_vo(config, batch)
+    step_fn = _batched_vo(config, batch, collect_cloud=collect_cloud)
     key = jax.random.PRNGKey(seed)
     mlog = profiling.MetricsLogger(metrics_path)
 
@@ -119,16 +145,22 @@ def run_vo_sequence(
     def on_ready(res, B):
         """Fetch a completed batch's outputs (only the B real pairs; the
         tail batch is padded with replicated last frames so exactly one
-        program shape compiles — VERDICT r2 weak #8)."""
+        program shape compiles — VERDICT r2 weak #8). Outputs arrive as
+        2-3 consolidated buffers (see ``_batched_vo``)."""
         nonlocal fidx, total_pts
-        T = np.asarray(res.T)[:B]
-        dTs.extend(T)
-        n_inl.extend(np.asarray(res.n_inliers)[:B])
-        n_trk.extend(np.asarray(res.n_tracked)[:B])
-        reverted.extend(np.asarray(res.reverted)[:B])
         if collect_cloud:
-            pts = np.asarray(res.points)[:B]
-            val = np.asarray(res.points_valid)[:B]
+            T_dev, scal_dev, pts_dev, val_dev = res
+        else:
+            T_dev, scal_dev = res
+        T = np.asarray(T_dev)[:B]
+        scal = np.asarray(scal_dev)[:B]  # [B, 4] tracked/inliers/r_norm/rev
+        dTs.extend(T)
+        n_trk.extend(scal[:, 0].astype(np.int32))
+        n_inl.extend(scal[:, 1].astype(np.int32))
+        reverted.extend(scal[:, 3] > 0.5)
+        if collect_cloud:
+            pts = np.asarray(pts_dev)[:B]
+            val = np.asarray(val_dev)[:B]
             for b in range(B):
                 clouds.append(pts[b][val[b]])
                 limits.append(total_pts)
@@ -136,10 +168,10 @@ def run_vo_sequence(
         fidx += B
         mlog.log({
             "frame": fidx,
-            "n_inliers_mean": float(np.mean(np.asarray(res.n_inliers)[:B])),
-            "n_tracked_mean": float(np.mean(np.asarray(res.n_tracked)[:B])),
-            "reverted": int(np.sum(np.asarray(res.reverted)[:B])),
-            "r_norm_max": float(np.max(np.asarray(res.r_norm)[:B])),
+            "n_inliers_mean": float(scal[:, 1].mean()),
+            "n_tracked_mean": float(scal[:, 0].mean()),
+            "reverted": int((scal[:, 3] > 0.5).sum()),
+            "r_norm_max": float(scal[:, 2].max()),
         })
         if ckpt is not None:
             state = {
@@ -172,8 +204,7 @@ def run_vo_sequence(
         if B < batch:  # pad with replicas of the last frame: one program
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], batch - B, axis=0)])
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch)
+        key, keys = _split_keys(key, batch)  # jitted: no eager ops here
         dev = jnp.asarray(stack)
         pipe.submit(lambda d=dev, k=keys: step_fn(d, k), B)
 
@@ -301,16 +332,34 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
     # ORB descriptor matching instead of KLT (the reference's
     # `really_robust_ass` window path, `kitti_ba.cpp:584-754`).
     step_one = vo.vo_step_orb if use_orb else vo.vo_step
-    step = jax.jit(jax.vmap(lambda a, b, k: step_one(a, b, k, vo_cfg)))
+
+    @jax.jit
+    def step(a, b, k):
+        """Consolidated outputs: 5 buffers per batch instead of 7+ (each
+        host fetch is a device round trip), and the coordinate
+        normalization runs inside the program — an eager einsum per batch
+        here costs seconds through a remote-compile relay."""
+        res = jax.vmap(lambda a1, b1, k1: step_one(a1, b1, k1, vo_cfg))(
+            a.astype(jnp.float32), b.astype(jnp.float32), k)
+        K_inv_d = vo_cfg.camera.K_inv(jnp.float32)
+        p0 = vo.cam.normalize(res.matches_src, K_inv_d)
+        p1 = vo.cam.normalize(res.matches_tgt, K_inv_d)
+        masks = jnp.stack([res.points_valid, res.inlier_mask], axis=1)
+        scal = jnp.stack([res.n_inliers.astype(jnp.float32),
+                          res.reverted.astype(jnp.float32)], axis=-1)
+        return res.T, p0, p1, masks, scal
+
     key = jax.random.PRNGKey(seed + len(out))
-    K_inv = vo_cfg.camera.K_inv()
 
     def on_ready(res, chunk):
-        T = np.asarray(res.T)
-        sel_all = np.asarray(res.points_valid)
-        inl_all = np.asarray(res.inlier_mask)
-        p0_all = np.asarray(vo.cam.normalize(res.matches_src, K_inv))
-        p1_all = np.asarray(vo.cam.normalize(res.matches_tgt, K_inv))
+        T_d, p0_d, p1_d, masks_d, scal_d = res
+        T = np.asarray(T_d)
+        masks = np.asarray(masks_d)
+        sel_all = masks[:, 0]
+        inl_all = masks[:, 1]
+        p0_all = np.asarray(p0_d)
+        p1_all = np.asarray(p1_d)
+        scal = np.asarray(scal_d)
         for b, (i, j) in enumerate(chunk):
             sel = sel_all[b]
             take = np.argsort(~sel)[:n_points]
@@ -322,11 +371,11 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
                 mask_full=inl_all[b],
             )
         if mlog is not None:
-            n_inl = np.asarray(res.n_inliers)[: len(chunk)]
+            sc = scal[: len(chunk)]
             mlog.log({
                 "stage": "extract", "pairs_done": len(out),
-                "n_inliers_mean": float(n_inl.mean()),
-                "reverted": int(np.asarray(res.reverted)[: len(chunk)].sum()),
+                "n_inliers_mean": float(sc[:, 0].mean()),
+                "reverted": int((sc[:, 1] > 0.5).sum()),
             })
         if ckpt is not None:
             ckpt.maybe_save(len(out), _pack_pairs(out))
@@ -337,8 +386,7 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
         idxs = chunk + [chunk[-1]] * (batch - len(chunk))
         src = jnp.asarray(np.stack([fs.get(i) for i, _ in idxs]))
         tgt = jnp.asarray(np.stack([fs.get(j) for _, j in idxs]))
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch)
+        key, keys = _split_keys(key, batch)  # jitted: no eager ops here
         pipe.submit(lambda s=src, t=tgt, k=keys: step(s, t, k), chunk)
         # Frames this batch used are already on device; keep only what the
         # remaining pairs still need (sufmin is +inf after the last batch,
