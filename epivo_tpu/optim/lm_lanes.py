@@ -185,18 +185,20 @@ def _rep_frames(mem, reps, Z, dtype, Wn):
 
 
 def _point_terms(T0r, pT, xq, yq):
-    """Shared per-point quantities for one constraint (lane-major).
+    """Shared per-point quantities, lane-major, with arbitrary leading
+    batch dims (e.g. the stacked constraint axis R).
 
-    T0r [4, 4, W]; pT [3, N, W]; xq/yq [N, W].
-    Returns dict of tensors shaped [N, W] / [3, N, W].
+    T0r [..., 4, 4, W]; pT [..., 3, N, W]; xq/yq [..., N, W].
+    Returns dict of tensors shaped [..., N, W] / [..., 3, N, W].
     """
-    R0 = T0r[:3, :3]  # [3, 3, W]
-    t0 = T0r[:3, 3]  # [3, W]
-    Rp = jnp.sum(R0[:, :, None, :] * pT[None, :, :, :], axis=1)  # [3, N, W]
-    A0 = t0[0][None] - xq * t0[2][None]  # [N, W]
-    A1 = t0[1][None] - yq * t0[2][None]
-    B0 = Rp[0] - xq * Rp[2]
-    B1 = Rp[1] - yq * Rp[2]
+    R0 = T0r[..., :3, :3, :]  # [..., 3, 3, W]
+    t0 = T0r[..., :3, 3, :]  # [..., 3, W]
+    Rp = jnp.sum(R0[..., :, :, None, :] * pT[..., None, :, :, :],
+                 axis=-3)  # [..., 3, N, W]
+    A0 = t0[..., 0, None, :] - xq * t0[..., 2, None, :]  # [..., N, W]
+    A1 = t0[..., 1, None, :] - yq * t0[..., 2, None, :]
+    B0 = Rp[..., 0, :, :] - xq * Rp[..., 2, :, :]
+    B1 = Rp[..., 1, :, :] - yq * Rp[..., 2, :, :]
     ATA = A0 * A0 + A1 * A1
     BTB = B0 * B0 + B1 * B1
     nB_ok = BTB > _SAFE_EPS * _SAFE_EPS  # matches nB > _SAFE_EPS
@@ -204,12 +206,12 @@ def _point_terms(T0r, pT, xq, yq):
     nA = jnp.sqrt(jnp.maximum(ATA, 0.0))
     nB = jnp.sqrt(jnp.maximum(BTB, 0.0))
     d = jnp.where(nB_ok, nA / jnp.where(nB_ok, nB, 1.0), 0.0)
-    X = Rp * d[None] + t0[:, None, :]  # [3, N, W]
-    z = X[2]
+    X = Rp * d[..., None, :, :] + t0[..., :, None, :]  # [..., 3, N, W]
+    z = X[..., 2, :, :]
     z_ok = jnp.abs(z) > _SAFE_EPS
     inv_z = 1.0 / jnp.where(z_ok, z, 1.0)
-    proj0 = X[0] * inv_z
-    proj1 = X[1] * inv_z
+    proj0 = X[..., 0, :, :] * inv_z
+    proj1 = X[..., 1, :, :] * inv_z
     e0 = proj0 - xq
     e1 = proj1 - yq
     s = 0.5 * (e0 * e0 + e1 * e1)
@@ -220,7 +222,7 @@ def _point_terms(T0r, pT, xq, yq):
 
 
 def _residual_lanes(tm, huber_delta, pm):
-    """Residual [N, W] from :func:`_point_terms` (matches
+    """Residual [..., N, W] from :func:`_point_terms` (matches
     ``epipolar.residual`` masking exactly)."""
     r = huber(tm["s"], huber_delta)
     ok = tm["nB_ok"] & tm["z_ok"]
@@ -230,21 +232,25 @@ def _residual_lanes(tm, huber_delta, pm):
 
 
 def _jacobian_lanes(tm, Tl, Tr, sign, pT, xq, yq, huber_delta, pm, G):
-    """Jacobian block [6, N, W] for one (rep, zeta) (matches
-    ``epipolar.residual_jacobian``)."""
-    # dT = sign * Tl G_k Tr -> [6, 4, 4, W]
-    Gj = jnp.asarray(G, Tl.dtype)[:, :, :, None]  # [6, 4, 4, 1]
-    dT = sign * _mul(_mul(Tl[None], Gj), Tr[None])
-    dR = dT[:, :3, :3]  # [6, 3, 3, W]
-    dt = dT[:, :3, 3]  # [6, 3, W]
+    """Jacobian blocks [P, 6, N, W] for a STACK of (rep, zeta) pairs
+    (matches ``epipolar.residual_jacobian``); all per-pair inputs carry
+    the leading P axis (tm fields gathered per pair)."""
+    # dT = sign * Tl G_k Tr -> [P, 6, 4, 4, W]
+    Gj = jnp.asarray(G, Tl.dtype)[None, :, :, :, None]  # [1, 6, 4, 4, 1]
+    dT = sign[:, None, None, None, None] * _mul(_mul(Tl[:, None], Gj),
+                                                Tr[:, None])
+    dR = dT[:, :, :3, :3, :]  # [P, 6, 3, 3, W]
+    dt = dT[:, :, :3, 3, :]  # [P, 6, 3, W]
 
-    # dRp[g, i, n, w] = sum_j dR[g, i, j, w] p[j, n, w]
-    dRp = jnp.sum(dR[:, :, :, None, :] * pT[None, None, :, :, :], axis=2)
-    # J_A rows (P' dt): [6, N, W]
-    JA0 = dt[:, 0, None, :] - xq[None] * dt[:, 2, None, :]
-    JA1 = dt[:, 1, None, :] - yq[None] * dt[:, 2, None, :]
-    JB0 = dRp[:, 0] - xq[None] * dRp[:, 2]
-    JB1 = dRp[:, 1] - yq[None] * dRp[:, 2]
+    # dRp[p, g, i, n, w] = sum_j dR[p, g, i, j, w] p[p, j, n, w]
+    dRp = jnp.sum(dR[..., None, :] * pT[:, None, None, :, :, :], axis=-3)
+    # J_A rows (P' dt): [P, 6, N, W]
+    xqb = xq[:, None]  # [P, 1, N, W]
+    yqb = yq[:, None]
+    JA0 = dt[:, :, 0, None, :] - xqb * dt[:, :, 2, None, :]
+    JA1 = dt[:, :, 1, None, :] - yqb * dt[:, :, 2, None, :]
+    JB0 = dRp[:, :, 0] - xqb * dRp[:, :, 2]
+    JB1 = dRp[:, :, 1] - yqb * dRp[:, :, 2]
 
     ok = (tm["ATA"] > _SAFE_EPS) & (tm["BTB"] > _SAFE_EPS)
     safe_ATA = jnp.where(ok, tm["ATA"], 1.0)
@@ -252,27 +258,29 @@ def _jacobian_lanes(tm, Tl, Tr, sign, pT, xq, yq, huber_delta, pm, G):
     nA = jnp.sqrt(safe_ATA)
     nB = jnp.sqrt(safe_BTB)
 
-    AtJA = tm["A0"][None] * JA0 + tm["A1"][None] * JA1  # [6, N, W]
-    BtJB = tm["B0"][None] * JB0 + tm["B1"][None] * JB1
-    J_d = ((nB / nA)[None] * AtJA - (nA / nB)[None] * BtJB) / safe_BTB[None]
+    AtJA = tm["A0"][:, None] * JA0 + tm["A1"][:, None] * JA1  # [P, 6, N, W]
+    BtJB = tm["B0"][:, None] * JB0 + tm["B1"][:, None] * JB1
+    J_d = ((nB / nA)[:, None] * AtJA
+           - (nA / nB)[:, None] * BtJB) / safe_BTB[:, None]
 
-    # J_X = dR (p d) + dt + Rp * J_d   -> [6, 3, N, W]
-    d0 = (tm["nA"] / nB)[None]  # matches d0 = nA/nB with safe_BTB guard
-    J_X = (dRp * d0[:, None] + dt[:, :, None, :]
-           + tm["Rp"][None] * J_d[:, None])
+    # J_X = dR (p d) + dt + Rp * J_d   -> [P, 6, 3, N, W]
+    d0 = (tm["nA"] / nB)[:, None, None]  # matches d0 with safe_BTB guard
+    J_X = (dRp * d0 + dt[..., None, :]
+           + tm["Rp"][:, None] * J_d[:, :, None])
 
-    # e^T J_Pi (rows folded): [3, N, W] -> contract with J_X over axis 1
+    # e^T J_Pi (rows folded) contracted with J_X over the coordinate axis.
     g0 = tm["e0"] * tm["inv_z"]
     g1 = tm["e1"] * tm["inv_z"]
     g2 = -(tm["e0"] * tm["proj0"] + tm["e1"] * tm["proj1"]) * tm["inv_z"]
     drho = huber_deriv(tm["s"], huber_delta)
-    J = drho[None] * (g0[None] * J_X[:, 0] + g1[None] * J_X[:, 1]
-                      + g2[None] * J_X[:, 2])  # [6, N, W]
+    J = drho[:, None] * (g0[:, None] * J_X[:, :, 0]
+                         + g1[:, None] * J_X[:, :, 1]
+                         + g2[:, None] * J_X[:, :, 2])  # [P, 6, N, W]
 
     good = ok & tm["z_ok"]
     if pm is not None:
         good = good & pm
-    return jnp.where(good[None], J, 0.0)
+    return jnp.where(good[:, None], J, 0.0)
 
 
 def solve_batched_lanes(
@@ -315,18 +323,28 @@ def solve_batched_lanes(
     zmask = (np.ones(Z, bool) if zeta_mask is None
              else np.asarray(zeta_mask, bool))
 
+    # Static (rep, zeta) pair list shared by every iteration.
+    pair_rep, pair_zeta = [], []
+    for r_i, (z0, z1) in enumerate(reps):
+        lo, hi = sorted((int(z0), int(z1)))
+        for k in range(lo, hi + 1):
+            pair_rep.append(r_i)
+            pair_zeta.append(k)
+    P = len(pair_rep)
+    pr_idx = np.asarray(pair_rep)
+
     def weighted_residuals(Ts):
-        """[R, N, W] weighted residual stack + the per-(rep,zeta) frames."""
+        """[R, N, W] weighted residual stack + frames + stacked terms.
+
+        One stacked :func:`_point_terms` evaluation over the constraint
+        axis (the per-constraint Python loop multiplied the op count by
+        R and dominated the post-Cholesky profile)."""
         mem = _prefix_mem(Ts)
         frames = _rep_frames(mem, reps, Z, dtype, Wn)
-        rs, tms = [], []
-        for r_i in range(R_):
-            T0r, _ = frames[r_i]
-            tm = _point_terms(T0r, pT[r_i], xq[r_i], yq[r_i])
-            pm = None if pm_l is None else pm_l[r_i]
-            rs.append(_residual_lanes(tm, huber_delta, pm) * w_l[r_i][None])
-            tms.append(tm)
-        return jnp.stack(rs), frames, tms
+        T0r_all = jnp.stack([f[0] for f in frames])  # [R, 4, 4, W]
+        tm = _point_terms(T0r_all, pT, xq, yq)
+        r = _residual_lanes(tm, huber_delta, pm_l) * w_l[:, None]
+        return r, frames, tm
 
     def energy(Ts):
         r, _, _ = weighted_residuals(Ts)
@@ -336,32 +354,45 @@ def solve_batched_lanes(
         Ts, lam, prev_E, H_norm, n_acc, done = carry
         # (Ts lane-major [Z, 4, 4, W]; lam/prev_E/... [W])
 
-        r_stack, frames, tms = weighted_residuals(Ts)
+        r_stack, frames, tm = weighted_residuals(Ts)
 
-        # Jacobian blocks per (rep, zeta); accumulate b and H directly.
+        # All (rep, zeta) Jacobian blocks in ONE stacked evaluation.
+        # (pairs_flat order matches pair_rep/pair_zeta: both enumerate
+        # zetas ascending within each constraint.)
+        pairs_flat = [frames[r][1][q] for r in range(R_)
+                      for q in range(len(frames[r][1]))]
+        assert len(pairs_flat) == P
+        Tl_all = jnp.stack([pf[1] for pf in pairs_flat])
+        Tr_all = jnp.stack([pf[2] for pf in pairs_flat])
+        sign_all = jnp.asarray([pf[3] for pf in pairs_flat], dtype)
+        tm_p = {key_: val[pr_idx] for key_, val in tm.items()}
+        pm_p = None if pm_l is None else pm_l[pr_idx]
+        J_all = _jacobian_lanes(tm_p, Tl_all, Tr_all, sign_all, pT[pr_idx],
+                                xq[pr_idx], yq[pr_idx], huber_delta, pm_p, G)
+        J_all = J_all * w_l[pr_idx][:, None, None]  # [P, 6, N, W]
+
+        # Accumulate b and H over the (small, static) pair list.
         b = jnp.zeros((D, Wn), dtype)
         H = jnp.zeros((D, D, Wn), dtype)
-        for r_i in range(R_):
-            T0r, ks = frames[r_i]
-            tm = tms[r_i]
-            pm = None if pm_l is None else pm_l[r_i]
-            Jks = []  # [(k, J [6, N, W])]
-            for (k, Tl, Tr, sign) in ks:
-                J = _jacobian_lanes(tm, Tl, Tr, sign, pT[r_i], xq[r_i],
-                                    yq[r_i], huber_delta, pm, G)
-                Jks.append((k, J * w_l[r_i][None, None]))
-            rw = r_stack[r_i]  # already weighted
-            for (k, J) in Jks:
-                b = b.at[6 * k : 6 * k + 6].add(
-                    jnp.sum(J * rw[None], axis=1))
-                for (k2, J2) in Jks:
-                    if k2 < k:
-                        continue  # fill symmetric later
-                    blk = jnp.sum(J[:, None] * J2[None, :], axis=2)
-                    H = H.at[6 * k : 6 * k + 6, 6 * k2 : 6 * k2 + 6].add(blk)
-                    if k2 > k:
-                        H = H.at[6 * k2 : 6 * k2 + 6, 6 * k : 6 * k + 6].add(
-                            jnp.swapaxes(blk, 0, 1))
+        rw_p = r_stack[pr_idx]  # [P, N, W] (already weighted)
+        bp = jnp.sum(J_all * rw_p[:, None], axis=2)  # [P, 6, W]
+        for p_i in range(P):
+            k = pair_zeta[p_i]
+            b = b.at[6 * k : 6 * k + 6].add(bp[p_i])
+        for p_i in range(P):
+            k = pair_zeta[p_i]
+            for p_j in range(P):
+                if pair_rep[p_j] != pair_rep[p_i]:
+                    continue  # blocks couple only within a constraint
+                k2 = pair_zeta[p_j]
+                if k2 < k:
+                    continue
+                blk = jnp.sum(J_all[p_i][:, None] * J_all[p_j][None, :],
+                              axis=2)
+                H = H.at[6 * k : 6 * k + 6, 6 * k2 : 6 * k2 + 6].add(blk)
+                if k2 > k:
+                    H = H.at[6 * k2 : 6 * k2 + 6, 6 * k : 6 * k + 6].add(
+                        jnp.swapaxes(blk, 0, 1))
 
         # Damped normal equations (identical schedule to lm.solve), kept
         # lane-major: H [D, D, W], diag/damping elementwise over lanes.
