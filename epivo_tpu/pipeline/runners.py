@@ -593,9 +593,18 @@ def run_stereo_ba_sequence(
                 & (d_met > 0.1) & (d_met < 1e4)
                 & (d_mono > 1e-3) & (d_mono < 1e4))
         for row, k in enumerate(ms_ks):
-            if both[row].sum() >= 4:
-                scale_of[k] = np.median(d_met[row][both[row]]
-                                        / d_mono[row][both[row]])
+            m = both[row]
+            if m.sum() < 4:
+                continue
+            # Far points have near-zero rig disparity, so their depths are
+            # noise-dominated AND biased high (1/disparity convexity) —
+            # measured +23% trajectory-length bias on the corridor. Keep
+            # the nearest, best-conditioned 40% for the ratio median.
+            near = d_met[row] <= np.quantile(d_met[row][m], 0.4)
+            m2 = m & near
+            if m2.sum() >= 4:
+                m = m2
+            scale_of[k] = np.median(d_met[row][m] / d_mono[row][m])
 
     def metric_scale(k: int) -> float:
         return float(scale_of[k])
