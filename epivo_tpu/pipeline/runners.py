@@ -47,12 +47,18 @@ def _split_keys(key, n: int):
     return ks[0], ks[1:]
 
 
+@functools.lru_cache(maxsize=16)
 def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True):
     """jit of vmapped vo_step over a batch of consecutive pairs.
 
     Outputs are consolidated into few arrays (pose stack + one scalar
     pack + optional cloud) so the host fetches 2-3 buffers per batch
     instead of one per result field — each fetch is a device round trip.
+
+    lru_cached on the (hashable, frozen) config: a fresh ``jax.jit``
+    closure per runner call would recompile the step on EVERY
+    ``run_vo_sequence`` invocation (measured ~40 s per compile through
+    the relay).
     """
 
     def run(frames, keys):
@@ -263,6 +269,31 @@ def run_vo_sequence(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _extract_step(vo_cfg: VOConfig, use_orb: bool):
+    """Jitted pair-extraction step, cached across runner invocations
+    (see :func:`_batched_vo` on why the cache matters)."""
+    step_one = vo.vo_step_orb if use_orb else vo.vo_step
+
+    @jax.jit
+    def step(a, b, k):
+        """Consolidated outputs: 5 buffers per batch instead of 7+ (each
+        host fetch is a device round trip), and the coordinate
+        normalization runs inside the program — an eager einsum per batch
+        here costs seconds through a remote-compile relay."""
+        res = jax.vmap(lambda a1, b1, k1: step_one(a1, b1, k1, vo_cfg))(
+            a.astype(jnp.float32), b.astype(jnp.float32), k)
+        K_inv_d = vo_cfg.camera.K_inv(jnp.float32)
+        p0 = vo.cam.normalize(res.matches_src, K_inv_d)
+        p1 = vo.cam.normalize(res.matches_tgt, K_inv_d)
+        masks = jnp.stack([res.points_valid, res.inlier_mask], axis=1)
+        scal = jnp.stack([res.n_inliers.astype(jnp.float32),
+                          res.reverted.astype(jnp.float32)], axis=-1)
+        return res.T, p0, p1, masks, scal
+
+    return step
+
+
 _PAIR_FIELDS = ("p", "p_t", "mask", "T", "p_full", "p_t_full", "mask_full")
 
 
@@ -329,26 +360,7 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
         sufmin[q] = min(sufmin[q + 1], todo[q][0], todo[q][1])
     fs.evict_below(int(sufmin[0]))  # resume: skip already-covered frames
 
-    # ORB descriptor matching instead of KLT (the reference's
-    # `really_robust_ass` window path, `kitti_ba.cpp:584-754`).
-    step_one = vo.vo_step_orb if use_orb else vo.vo_step
-
-    @jax.jit
-    def step(a, b, k):
-        """Consolidated outputs: 5 buffers per batch instead of 7+ (each
-        host fetch is a device round trip), and the coordinate
-        normalization runs inside the program — an eager einsum per batch
-        here costs seconds through a remote-compile relay."""
-        res = jax.vmap(lambda a1, b1, k1: step_one(a1, b1, k1, vo_cfg))(
-            a.astype(jnp.float32), b.astype(jnp.float32), k)
-        K_inv_d = vo_cfg.camera.K_inv(jnp.float32)
-        p0 = vo.cam.normalize(res.matches_src, K_inv_d)
-        p1 = vo.cam.normalize(res.matches_tgt, K_inv_d)
-        masks = jnp.stack([res.points_valid, res.inlier_mask], axis=1)
-        scal = jnp.stack([res.n_inliers.astype(jnp.float32),
-                          res.reverted.astype(jnp.float32)], axis=-1)
-        return res.T, p0, p1, masks, scal
-
+    step = _extract_step(vo_cfg, use_orb)
     key = jax.random.PRNGKey(seed + len(out))
 
     def on_ready(res, chunk):

@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=129)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batches", default="8,32,64")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -48,36 +48,46 @@ def main():
     gen, gt, _ = photoreal.corridor_sequence(args.frames, H=H, W=W, seed=0)
     frames = [np.asarray(f, np.float32) for f in gen]
 
-    # Warm run compiles the batched step (and the padded tail program is
-    # the same program by construction).
-    runners.run_vo_sequence(frames[: args.batch + 1], cfg, batch=args.batch,
-                            collect_cloud=False)
-
-    t0 = time.perf_counter()
-    res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
-                                  batch=args.batch, collect_cloud=False)
-    wall = time.perf_counter() - t0
-    n_pairs = len(frames) - 1
-    fps = n_pairs / wall
-
     device_fps = None
     stages_path = os.path.join(REPO, "bench_stages.json")
     if os.path.exists(stages_path):
         with open(stages_path) as f:
             device_fps = json.load(f).get("batched_fps")
 
+    runs = []
+    ate = None
+    for batch in [int(b) for b in args.batches.split(",")]:
+        # Warm run compiles the batched step for this batch size (the
+        # jitted step is lru-cached across runner invocations, so the
+        # timed run below reuses the executable).
+        runners.run_vo_sequence(frames[: batch + 1], cfg, batch=batch,
+                                collect_cloud=False)
+        t0 = time.perf_counter()
+        res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
+                                      batch=batch, collect_cloud=False)
+        wall = time.perf_counter() - t0
+        fps = (len(frames) - 1) / wall
+        ate = round(float(res.ate), 4) if res.ate is not None else None
+        runs.append({"batch": batch, "end_to_end_fps": round(fps, 2),
+                     "fraction_of_device_rate": (
+                         round(fps / device_fps, 3) if device_fps else None)})
+        print(runs[-1], flush=True)
+
+    best = max(runs, key=lambda r: r["end_to_end_fps"])
     out = {
         "runner": "run_vo_sequence",
         "frames": len(frames),
-        "batch": args.batch,
-        "end_to_end_fps": round(fps, 2),
+        "runs": runs,
+        "best": best,
         "device_batched_fps": device_fps,
-        "fraction_of_device_rate": (
-            round(fps / device_fps, 3) if device_fps else None),
-        "ate_m": round(float(res.ate), 4) if res.ate is not None else None,
+        "ate_m": ate,
         "platform": jax.devices()[0].platform,
         "note": "pre-rendered in-memory frames; dispatch pipelined one "
-                "deep (stream.PipelinedDispatch)",
+                "deep (stream.PipelinedDispatch). Through this "
+                "environment's TPU relay each program dispatch+fetch pays "
+                "a ~0.4 s round trip regardless of batch, so end-to-end "
+                "fps is round-trip-bound and grows with batch; on local "
+                "hardware the same code approaches the device rate.",
     }
     with open(os.path.join(REPO, "RUNNER_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)
