@@ -20,3 +20,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+# The XLA CPU compiler can segfault after ~180 compilations accumulate in
+# one pytest process (observed twice at r3, at a nondeterministic late
+# test, inside backend_compile_and_load; any suite subset passes in
+# isolation). Periodically dropping JAX's in-process caches bounds the
+# accumulated compiler state; the cost is recompiling shared helpers a
+# few times per run.
+import pytest as _pytest
+
+_TEST_COUNT = {"n": 0}
+
+
+@_pytest.fixture(autouse=True)
+def _bound_compiler_state():
+    yield
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % 50 == 0:
+        jax.clear_caches()
