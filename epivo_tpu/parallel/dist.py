@@ -36,6 +36,9 @@ class DistBAResult(NamedTuple):
     trajectory: jnp.ndarray  # [W*Z + 1, 4, 4] stitched global trajectory
     global_r_norm: jnp.ndarray  # [] cross-device residual norm
     reverted_frac: jnp.ndarray  # [] fraction of reverted windows
+    r_norm: jnp.ndarray  # [W] per-window residual norms (sharded over win)
+    reverted: jnp.ndarray  # [W] per-window revert flags (sharded over win)
+    n_accepted: jnp.ndarray  # [W] per-window LM accepted counts
 
 
 def distributed_ba_step(
@@ -45,14 +48,20 @@ def distributed_ba_step(
 ):
     """Build a jitted distributed windowed-BA step for the given mesh.
 
-    Returns fn(T0s [W,Z,4,4], p [W,R,N,3], p_t, wreps [W,R]) -> DistBAResult
-    with W sharded over the 'win' mesh axis.
+    Returns fn(T0s [W,Z,4,4], p [W,R,N,3], p_t, wreps [W,R], pmask
+    [W,R,N]) -> DistBAResult with W sharded over the 'win' mesh axis.
+    This is the same solve the single-device drivers run
+    (:func:`ba.ba_windows`); the sequence runners route through it when
+    given a ``mesh`` (the reference's driver IS its pipeline,
+    `kitti_ba.cpp:1071-1167` — here the distributed framework and the
+    framework are the same code path).
     """
     win_s = NamedSharding(mesh, P("win"))
     rep_s = NamedSharding(mesh, P())
 
-    def step(T0s, p, p_t, wreps):
-        out = ba.ba_windows(T0s, spec, p, p_t, wreps=wreps, config=config)
+    def step(T0s, p, p_t, wreps, pmask):
+        out = ba.ba_windows(T0s, spec, p, p_t, wreps=wreps, pmask=pmask,
+                            config=config)
         # Global reductions across the sharded window axis (psum under SPMD).
         global_r = jnp.sqrt(jnp.sum(out.r_norm**2))
         rev_frac = jnp.mean(out.reverted.astype(T0s.dtype))
@@ -72,14 +81,18 @@ def distributed_ba_step(
             trajectory=traj,
             global_r_norm=global_r,
             reverted_frac=rev_frac,
+            r_norm=out.r_norm,
+            reverted=out.reverted,
+            n_accepted=out.n_accepted,
         )
 
     return jax.jit(
         step,
-        in_shardings=(win_s, win_s, win_s, win_s),
+        in_shardings=(win_s, win_s, win_s, win_s, win_s),
         out_shardings=DistBAResult(
             T_opt=win_s, trajectory=rep_s, global_r_norm=rep_s,
-            reverted_frac=rep_s,
+            reverted_frac=rep_s, r_norm=win_s, reverted=win_s,
+            n_accepted=win_s,
         ),
     )
 

@@ -28,13 +28,17 @@ class SequenceCheckpointer:
     def _path(self, frame_idx: int) -> str:
         return os.path.join(self.dir, f"ckpt_{frame_idx:08d}.npz")
 
+    def due(self, frame_idx: int) -> bool:
+        """True when :meth:`maybe_save` would save at this index — lets
+        callers skip assembling an expensive state dict between buckets."""
+        return frame_idx != 0 and frame_idx // self.every > self._last_bucket
+
     def maybe_save(self, frame_idx: int, state: dict) -> bool:
         """Save when a new ``every``-sized bucket is crossed (robust to
         callers advancing by batches that don't divide ``every``)."""
-        bucket = frame_idx // self.every
-        if frame_idx == 0 or bucket <= self._last_bucket:
+        if not self.due(frame_idx):
             return False
-        self._last_bucket = bucket
+        self._last_bucket = frame_idx // self.every
         self.save(frame_idx, state)
         return True
 

@@ -31,6 +31,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=129)
     ap.add_argument("--batches", default="8,32,64")
+    ap.add_argument("--depths", default="1,2,4")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timed repeats per config; min is reported "
+                         "(separates relay variance from real effects)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -54,24 +58,38 @@ def main():
         with open(stages_path) as f:
             device_fps = json.load(f).get("batched_fps")
 
+    depths = [int(d) for d in args.depths.split(",")]
     runs = []
     ate = None
     for batch in [int(b) for b in args.batches.split(",")]:
         # Warm run compiles the batched step for this batch size (the
         # jitted step is lru-cached across runner invocations, so the
-        # timed run below reuses the executable).
+        # timed runs below reuse the executable).
         runners.run_vo_sequence(frames[: batch + 1], cfg, batch=batch,
                                 collect_cloud=False)
-        t0 = time.perf_counter()
-        res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
-                                      batch=batch, collect_cloud=False)
-        wall = time.perf_counter() - t0
-        fps = (len(frames) - 1) / wall
-        ate = round(float(res.ate), 4) if res.ate is not None else None
-        runs.append({"batch": batch, "end_to_end_fps": round(fps, 2),
-                     "fraction_of_device_rate": (
-                         round(fps / device_fps, 3) if device_fps else None)})
-        print(runs[-1], flush=True)
+        n_dispatch = -(-(len(frames) - 1) // batch)
+        for depth in depths:
+            walls = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
+                                              batch=batch,
+                                              collect_cloud=False,
+                                              pipeline_depth=depth)
+                walls.append(round(time.perf_counter() - t0, 3))
+            wall = min(walls)
+            fps = (len(frames) - 1) / wall
+            ate = round(float(res.ate), 4) if res.ate is not None else None
+            runs.append({
+                "batch": batch, "pipeline_depth": depth,
+                "end_to_end_fps": round(fps, 2),
+                "wall_s_all_repeats": walls,
+                "n_dispatches": n_dispatch,
+                "s_per_dispatch": round(wall / n_dispatch, 3),
+                "fraction_of_device_rate": (
+                    round(fps / device_fps, 3) if device_fps else None),
+            })
+            print(runs[-1], flush=True)
 
     best = max(runs, key=lambda r: r["end_to_end_fps"])
     out = {
@@ -82,12 +100,16 @@ def main():
         "device_batched_fps": device_fps,
         "ate_m": ate,
         "platform": jax.devices()[0].platform,
-        "note": "pre-rendered in-memory frames; dispatch pipelined one "
-                "deep (stream.PipelinedDispatch). Through this "
-                "environment's TPU relay each program dispatch+fetch pays "
-                "a ~0.4 s round trip regardless of batch, so end-to-end "
-                "fps is round-trip-bound and grows with batch; on local "
-                "hardware the same code approaches the device rate.",
+        # Self-describing config (VERDICT r3 next #8).
+        "config": {"image": [H, W], "repeats": args.repeats,
+                   "collect_cloud": False,
+                   "n_hyp": 512, "max_keypoints": 512, "n_points": 48},
+        "note": "pre-rendered in-memory frames; dispatch pipelined "
+                "stream.PipelinedDispatch(depth). min-of-repeats "
+                "separates TPU-relay latency variance (~0.4 s/round trip, "
+                "occasionally much worse) from real batch/depth effects; "
+                "s_per_dispatch isolates the per-round-trip cost. On "
+                "local hardware the same code approaches the device rate.",
     }
     with open(os.path.join(REPO, "RUNNER_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)

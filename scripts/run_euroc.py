@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="out/euroc")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the stereo window solve over an N-device "
+                         "mesh (0 = single device)")
+    ap.add_argument("--pipeline-depth", type=int, default=2)
     args = ap.parse_args()
 
     if args.platform:
@@ -147,16 +151,28 @@ def run_stereo(args, seq):
         ransac=RansacConfig(n_hyp=512, threshold_px=0.3),
         lm=LMConfig(n_points=32, revert_r_norm=1e-2),
     )
+    mesh = None
+    if args.devices:
+        from epivo_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(n_win=args.devices, n_hyp=1,
+                                  devices=jax.devices()[: args.devices])
+
     os.makedirs(args.out, exist_ok=True)
     res = runners.run_stereo_ba_sequence(
         L, R, cfg, T_rig=T_rig, n_frames=len(ts),
+        batch=args.batch, pipeline_depth=args.pipeline_depth, mesh=mesh,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
     )
 
     # GT (evaluation only): cam0 poses mapped into the rectified frame.
     summary = {"mode": "stereo", "frames": len(ts),
                "baseline_m": float(-T_rig[0, 3]),
-               "windows_reverted": int(res.per_frame["window_reverted"].sum())}
+               "windows_reverted": int(res.per_frame["window_reverted"].sum()),
+               "config": {"batch": args.batch,
+                          "pipeline_depth": args.pipeline_depth,
+                          "devices": args.devices or 1,
+                          "platform": jax.devices()[0].platform}}
     try:
         gt_ts, gt_cam0 = seq.load_gt_cam0()
         idx = euroc.associate(np.asarray(ts, np.int64), gt_ts)

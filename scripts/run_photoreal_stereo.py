@@ -34,12 +34,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pipeline-depth", type=int, default=2)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the window solve over an N-device mesh "
+                         "(0 = single device)")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    mesh = None
+    if args.devices:
+        from epivo_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(n_win=args.devices, n_hyp=1,
+                                  devices=jax.devices()[: args.devices])
 
     from epivo_tpu.datasets import photoreal
     from epivo_tpu.eval import metrics as ev
@@ -66,6 +78,7 @@ def main():
     t0 = time.time()
     res = runners.run_stereo_ba_sequence(
         L, R, cfg, T_rig=T_rig, n_frames=args.frames,
+        batch=args.batch, pipeline_depth=args.pipeline_depth, mesh=mesh,
     )
     wall = time.time() - t0
     rss_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -95,6 +108,13 @@ def main():
         "windows_total": int(res.per_frame["window_reverted"].size),
         "wall_s_total": round(wall, 1),
         "platform": jax.devices()[0].platform,
+        # Self-describing run config (VERDICT r3 next #8).
+        "config": {
+            "batch": args.batch, "pipeline_depth": args.pipeline_depth,
+            "devices": args.devices or 1,
+            "fast_threshold": 30.0, "max_keypoints": 512, "n_hyp": 512,
+            "n_points": 32, "scale_refine": True, "post_lm_rescale": True,
+        },
         "note": "frames rendered lazily and streamed; peak RSS must stay "
                 "far below the decoded sequence size",
     }

@@ -44,7 +44,8 @@ def test_distributed_ba_matches_single():
 
     m8 = mesh_mod.make_mesh(n_win=8, n_hyp=1)
     step8 = dist.distributed_ba_step(m8, spec, cfg)
-    out8 = step8(T0s, p, p_t, wreps)
+    pmask = jnp.ones(p.shape[:3], bool)
+    out8 = step8(T0s, p, p_t, wreps, pmask)
 
     # Single-device reference result.
     out1 = ba.ba_windows(T0s, spec, p, p_t, wreps=wreps, config=cfg)
@@ -76,8 +77,9 @@ def test_distributed_ba_sharded_inputs():
     p_s = jax.device_put(p, ws)
     p_t_s = jax.device_put(p_t, ws)
     w_s = jax.device_put(wreps, ws)
+    pm_s = jax.device_put(jnp.ones(p.shape[:3], bool), ws)
     step = dist.distributed_ba_step(m, spec, cfg)
-    out = step(T0s_s, p_s, p_t_s, w_s)
+    out = step(T0s_s, p_s, p_t_s, w_s, pm_s)
     # Output windows stay sharded over the mesh.
     assert len(out.T_opt.sharding.device_set) == 8
     assert np.all(np.isfinite(np.asarray(out.T_opt)))
