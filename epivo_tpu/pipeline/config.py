@@ -119,6 +119,16 @@ class ScaleConfig:
     # Trust region: reject refinements further than this ratio from the
     # robust init (Fisher info is blind to systematic tracking bias).
     trust_region: float = 1.3
+    # No-GT mono chain: optional robust median filter width over the
+    # per-boundary LOG-ratios (odd; 1 disables — the DEFAULT). The no-GT
+    # sim3 ATE is ~100% scale-chain error (rotations contribute 0.17%;
+    # measured via GT-substitution decomposition), so smoothing the
+    # ratios looks attractive — but on the corridor the measured effect
+    # was seed-specific (sim3 gains traded against trajectory-length
+    # distortion), so it stays off unless a deployment's motion profile
+    # justifies it. The robust lever that does generalize is more
+    # keypoints per boundary (median sigma ~ 1/sqrt(n)).
+    chain_smooth: int = 1
     # Re-estimate with the LM-refined step poses after the window solve and
     # impose the result on the step translations (the f32 device LM cannot
     # pull scale through the frozen baseline the way the reference's f64

@@ -448,6 +448,13 @@ def _chained_scales(pair_data: dict, n_zeta_total: int,
     two-view estimate, and the refinement inherits its systematic errors
     — measured len_ratio collapsed 1.06 -> 0.66 on the photoreal corridor
     while the median chain held 1.06. The robust median stays.
+
+    LM-refined poses in place of the two-view poses were also evaluated
+    and REJECTED: the closed-form depth is only consistent when pose and
+    matches agree (each pair's own two-view pose was fit to those exact
+    matches), and substituting refined poses measurably WORSENED the
+    boundary ratios (std 0.069 -> 0.090 on the corridor) even though the
+    refined rotations are closer to GT.
     """
     from epivo_tpu.geometry import epipolar as _epi, se3 as _se3
 
@@ -495,6 +502,19 @@ def _chained_scales(pair_data: dict, n_zeta_total: int,
             c[b] = c[b - 1]
             continue
         c[b] = np.median(dbs[both] / df[i][both])
+
+    # Smoothness prior on the per-boundary LOG-ratios (sc.chain_smooth):
+    # true speed ratios vary slowly; boundary noise is white and its
+    # random walk dominates the no-GT trajectory error. A running median
+    # preserves genuine speed steps while cutting the white noise.
+    k = int(sc.chain_smooth)
+    if k > 1 and n_zeta_total > 2:
+        r = np.diff(np.log(np.maximum(c, 1e-12)))  # [n_zeta_total - 1]
+        h = k // 2
+        pad = np.concatenate([r[:1].repeat(h), r, r[-1:].repeat(h)])
+        r_f = np.array([np.median(pad[j : j + k]) for j in range(len(r))])
+        c = np.concatenate([[c[0]], c[0] * np.exp(np.cumsum(r_f))])
+        c = c.astype(np.float32)
     return c
 
 
