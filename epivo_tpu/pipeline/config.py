@@ -67,6 +67,15 @@ class RansacConfig:
         return int(min(max(128, -(-n // 128) * 128), 4096))
 
 
+def underfill_floor(n_points: int) -> int:
+    """Minimum valid matches for a window/global constraint to keep its
+    weight (below it the constraint is zero-weighted — the reference's
+    underfilled-constraint handling, `kitti_ba.cpp:821-826`). Scales with
+    the point budget, floored at the 8 matches an essential matrix
+    needs."""
+    return max(8, n_points // 4)
+
+
 @dataclasses.dataclass(frozen=True)
 class LMConfig:
     lambda0: float = 1e-2  # ref `kitti_E.cpp:196`, `kitti_ba.cpp:1044`
@@ -119,6 +128,15 @@ class ScaleConfig:
     # Trust region: reject refinements further than this ratio from the
     # robust init (Fisher info is blind to systematic tracking bias).
     trust_region: float = 1.3
+    # Stereo per-step temporal consistency (scale.hampel_log): steps more
+    # than hampel_ratio from the local median of the surrounding window
+    # are replaced by it. Stereo scales are independent absolute
+    # measurements, so the replacement is benign (unlike the mono chain,
+    # where smoothing measurably distorted the trajectory). Measured on
+    # the chip: a handful of catastrophic steps (tracking collapse, s0
+    # 8x off) dominated the +6% length bias through e^x convexity.
+    hampel_window: int = 7
+    hampel_ratio: float = 1.5
     # No-GT mono chain: optional robust median filter width over the
     # per-boundary LOG-ratios (odd; 1 disables — the DEFAULT). The no-GT
     # sim3 ATE is ~100% scale-chain error (rotations contribute 0.17%;

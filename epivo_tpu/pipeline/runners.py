@@ -25,7 +25,8 @@ import numpy as np
 from epivo_tpu.eval import metrics
 from epivo_tpu.geometry import se3
 from epivo_tpu.pipeline import ba as ba_mod, scale as scale_mod, stream, vo
-from epivo_tpu.pipeline.config import BAConfig, ScaleConfig, VOConfig
+from epivo_tpu.pipeline.config import (BAConfig, ScaleConfig, VOConfig,
+                                       underfill_floor)
 
 
 class SequenceResult(NamedTuple):
@@ -712,26 +713,33 @@ def run_stereo_ba_sequence(
         both = (v_met & v_mono
                 & (d_met > sc.rig_depth_min) & (d_met < sc.depth_max)
                 & (d_mono > sc.depth_min) & (d_mono < sc.depth_max))
-        prev_s = 1.0
+
+        # Pass 1: ratio-median init per step (NaN when underfilled).
+        s0_of = np.full(F - 1, np.nan)
+        n_of = np.zeros(F - 1, np.int32)
+        gf_of = np.zeros(F - 1)
         for row, k in enumerate(ms_ks):
-            m = both[row]
             s0, n_used, gated_frac = scale_mod.ratio_median_scale(
-                d_met[row], d_mono[row], m,
+                d_met[row], d_mono[row], both[row],
                 rig_depth_quantile=sc.rig_depth_quantile,
                 min_common=sc.min_common,
             )
-            if not np.isfinite(s0):
-                # Underfilled step: carry the previous scale forward (the
-                # mono chain does the same; smooth motion assumption).
-                scale_of[k] = prev_s
-                mlog.log({"stage": "stereo_scale", "step": k,
-                          "n_used": n_used, "carried_forward": True,
-                          "s": float(prev_s)})
-                continue
-            s = s0
-            refined = False
-            inl = None
-            if sc.refine:
+            s0_of[k], n_of[k], gf_of[k] = s0, n_used, gated_frac
+        # Temporal consistency on the ABSOLUTE per-step inits: a tracking
+        # collapse makes s0 catastrophically wrong (8x observed), and the
+        # trust-region gate then anchors the refinement to garbage.
+        s0_clean, repl0 = scale_mod.hampel_log(
+            s0_of, window=sc.hampel_window, max_ratio=sc.hampel_ratio)
+
+        # Pass 2: f64 joint ML refinement from the CLEANED inits.
+        s_of = s0_clean.copy()
+        ref_of = np.zeros(F - 1, bool)
+        rel_of = np.full(F - 1, np.nan)
+        inl_of = np.full(F - 1, np.nan)
+        if sc.refine:
+            for row, k in enumerate(ms_ks):
+                if not np.isfinite(s0_clean[k]) or s0_clean[k] <= 0:
+                    continue
                 T_LL = ms_rows[row][2]
                 tn = np.linalg.norm(T_LL[:3, 3])
                 u = T_LL[:3, 3] / max(tn, 1e-12)
@@ -739,21 +747,40 @@ def run_stereo_ba_sequence(
                     p=ms_rows[row][0], q=ms_rows[row][1],
                     p2=ms_rows[row][4],
                     R_rig=T_rig_np[:3, :3], t_rig=T_rig_np[:3, 3],
-                    R=T_LL[:3, :3], u=u, mask=m, s0=s0,
+                    R=T_LL[:3, :3], u=u, mask=both[row],
+                    s0=float(s0_clean[k]),
                     huber=huber_norm, iters=sc.refine_iters,
                     rel_err_max=sc.rel_err_max,
                     trust_region=sc.trust_region,
                 )
+                rel_of[k] = est.rel_err
                 if est.converged:
-                    s, refined, inl = est.s, True, est.inlier_frac
-            scale_of[k] = s
-            prev_s = s
-            mlog.log({"stage": "stereo_scale", "step": k, "s0": float(s0),
-                      "s": float(s), "n_used": n_used,
-                      "gated_frac": round(gated_frac, 3),
-                      "refined": refined, "inlier_frac": inl,
-                      "rel_err": (round(est.rel_err, 4)
-                                  if sc.refine else None)})
+                    s_of[k], ref_of[k] = est.s, True
+                    inl_of[k] = est.inlier_frac
+            # Safety net: the refinement itself can latch onto a wrong
+            # shallow minimum on a degraded step.
+            s_of, repl1 = scale_mod.hampel_log(
+                s_of, window=sc.hampel_window, max_ratio=sc.hampel_ratio)
+        else:
+            repl1 = np.zeros(F - 1, bool)
+
+        # Remaining NaNs (e.g. no steps had data): carry forward.
+        prev_s = 1.0
+        for k in range(F - 1):
+            if np.isfinite(s_of[k]) and s_of[k] > 0:
+                prev_s = float(s_of[k])
+            scale_of[k] = prev_s
+            mlog.log({"stage": "stereo_scale", "step": k,
+                      "s0": (None if not np.isfinite(s0_of[k])
+                             else round(float(s0_of[k]), 5)),
+                      "s": float(scale_of[k]), "n_used": int(n_of[k]),
+                      "gated_frac": round(float(gf_of[k]), 3),
+                      "refined": bool(ref_of[k]),
+                      "hampel_replaced": bool(repl0[k] or repl1[k]),
+                      "inlier_frac": (None if not np.isfinite(inl_of[k])
+                                      else round(float(inl_of[k]), 3)),
+                      "rel_err": (None if not np.isfinite(rel_of[k])
+                                  else round(float(rel_of[k]), 4))})
 
     def metric_scale(k: int) -> float:
         return float(scale_of[k])
@@ -779,7 +806,7 @@ def run_stereo_ba_sequence(
             p[w, r] = d["p"]
             p_t[w, r] = d["p_t"]
             pmask[w, r] = d["mask"]
-            if d["mask"].sum() < max(8, N // 4):
+            if d["mask"].sum() < underfill_floor(N):
                 wreps[w, r] = 0.0
         for z in range(spec.n_zeta):
             if z % 2 == 0:
@@ -810,35 +837,52 @@ def run_stereo_ba_sequence(
         # impose the result on the composed L->L' translation norm. The
         # f32 device LM polishes geometry but cannot hold metric scale
         # through the frozen baseline the way the reference's f64 LM does
-        # (`kitti_ba.cpp:567-574`); this stage is its host-side equivalent.
+        # (`kitti_ba.cpp:567-574`); this stage is its host-side
+        # equivalent. EVERY step gets a norm imposed: when the estimator's
+        # gates reject, the init scale is used — the LM's own |t| is
+        # never trusted (measured on the chip: un-rescaled steps carried
+        # LM norms with 0.61 log-std, whose heavy tail alone inflated
+        # trajectory length +6% through e^x convexity).
         ms_row_of = {k: i for i, k in enumerate(ms_ks)}
+        s_post = np.full(n_steps, np.nan)
+        ref_post = np.zeros(n_steps, bool)
         for k in range(n_steps):
-            row = ms_row_of.get(k)
-            if row is None:
-                continue
-            rig_T = zetas[2 * k]
-            cross = zetas[2 * k + 1]
-            LtoL = cross @ rig_T
+            LtoL = zetas[2 * k + 1] @ zetas[2 * k]
             tn = float(np.linalg.norm(LtoL[:3, 3]))
             if tn < 1e-9:
                 continue
             u = LtoL[:3, 3] / tn
-            est = scale_mod.estimate_step_scale(
-                p=ms_rows[row][0], q=ms_rows[row][1], p2=ms_rows[row][4],
-                R_rig=T_rig_np[:3, :3], t_rig=T_rig_np[:3, 3],
-                R=LtoL[:3, :3], u=u, mask=both[row],
-                s0=float(scale_of[k]), huber=huber_norm,
-                iters=sc.refine_iters, rel_err_max=sc.rel_err_max,
-                trust_region=sc.trust_region,
-            )
-            if est.converged:
-                LtoL = LtoL.copy()
-                LtoL[:3, 3] = u * est.s
-                zetas[2 * k + 1] = LtoL @ np.linalg.inv(rig_T)
-                mlog.log({"stage": "stereo_scale_post", "step": k,
-                          "s": float(est.s),
-                          "rel_err": round(est.rel_err, 4),
-                          "inlier_frac": round(est.inlier_frac, 3)})
+            s_post[k] = float(scale_of[k])
+            row = ms_row_of.get(k)
+            if row is not None:
+                est = scale_mod.estimate_step_scale(
+                    p=ms_rows[row][0], q=ms_rows[row][1],
+                    p2=ms_rows[row][4],
+                    R_rig=T_rig_np[:3, :3], t_rig=T_rig_np[:3, 3],
+                    R=LtoL[:3, :3], u=u, mask=both[row],
+                    s0=float(scale_of[k]), huber=huber_norm,
+                    iters=sc.refine_iters, rel_err_max=sc.rel_err_max,
+                    trust_region=sc.trust_region,
+                )
+                if est.converged:
+                    s_post[k], ref_post[k] = est.s, True
+        # Same temporal consistency net as the init pass.
+        s_post, repl_post = scale_mod.hampel_log(
+            s_post, window=sc.hampel_window, max_ratio=sc.hampel_ratio)
+        for k in range(n_steps):
+            if not (np.isfinite(s_post[k]) and s_post[k] > 0):
+                continue
+            rig_T = zetas[2 * k]
+            LtoL = zetas[2 * k + 1] @ rig_T
+            tn = float(np.linalg.norm(LtoL[:3, 3]))
+            if tn < 1e-9:
+                continue
+            LtoL = LtoL.copy()
+            LtoL[:3, 3] = LtoL[:3, 3] / tn * float(s_post[k])
+            zetas[2 * k + 1] = LtoL @ np.linalg.inv(rig_T)
+            mlog.log({"stage": "stereo_scale_post", "step": k,
+                      "s": float(s_post[k]), "refined": bool(ref_post[k]),
+                      "hampel_replaced": bool(repl_post[k])})
 
     mlog.close()
     zetas = zetas.astype(np.float32)
@@ -912,7 +956,7 @@ def refine_global(zetas: np.ndarray, pair_data: dict, config: BAConfig,
     # Underfilled constraints zero-weight, as in the windowed path
     # (ref `kitti_ba.cpp:821-826`).
     wreps = np.asarray(
-        [1.0 if d["mask"].sum() >= max(8, N // 4) else 0.0 for d in rows],
+        [1.0 if d["mask"].sum() >= underfill_floor(N) else 0.0 for d in rows],
         np.float32,
     )
     reps = np.asarray(reps, np.int32)
@@ -1090,7 +1134,7 @@ def prepare_mono_windows(
             p_t[w, r] = d["p_t"]
             pmask[w, r] = d["mask"]
             # Zero-weight underfilled constraints (ref kitti_ba.cpp:821-826).
-            if d["mask"].sum() < max(8, N // 4):
+            if d["mask"].sum() < underfill_floor(N):
                 wreps[w, r] = 0.0
         for z in range(spec.n_zeta):
             gi, gj = a + z, a + z + 1

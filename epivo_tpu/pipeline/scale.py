@@ -219,6 +219,49 @@ def estimate_step_scale(
     return StepScale(float(s), N, inl, ok_s, rel_err)
 
 
+def hampel_log(
+    s: np.ndarray,
+    window: int = 7,
+    max_ratio: float = 1.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Temporal consistency filter for per-step ABSOLUTE scales.
+
+    Unlike the mono chain (where ratios compound and smoothing was
+    measured to distort the trajectory), stereo per-step scales are
+    independent absolute measurements against the calibrated rig, so
+    replacing an outlier with its neighborhood median is benign. A step
+    more than ``max_ratio`` away (in either direction, log space) from
+    the median of the surrounding ``window`` steps is replaced by that
+    median; NaN entries (failed steps) are filled the same way. Genuine
+    smooth speed changes pass through untouched (adjacent GT ratios are
+    a few percent); only full stops — degenerate for VO regardless —
+    would be distorted.
+
+    Returns (cleaned array, replaced/filled mask).
+    """
+    s = np.asarray(s, np.float64)
+    n = len(s)
+    out = s.copy()
+    replaced = np.zeros(n, bool)
+    if n == 0:
+        return out, replaced
+    h = max(1, window // 2)
+    lim = np.log(max_ratio)
+    logs = np.where(s > 0, np.log(np.maximum(s, 1e-30)), np.nan)
+    for k in range(n):
+        lo, hi = max(0, k - h), min(n, k + h + 1)
+        neigh = np.concatenate([logs[lo:k], logs[k + 1 : hi]])
+        neigh = neigh[np.isfinite(neigh)]
+        if neigh.size == 0:
+            continue
+        m = np.median(neigh)
+        if not np.isfinite(logs[k]) or abs(logs[k] - m) > lim:
+            out[k] = np.exp(m)
+            replaced[k] = True
+    # A fully-empty input stays as-is (caller handles).
+    return out, replaced
+
+
 def ratio_median_scale(
     d_met: np.ndarray,
     d_mono: np.ndarray,

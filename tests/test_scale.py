@@ -123,3 +123,23 @@ def test_refinement_falls_back_on_degenerate():
     est2 = scale_mod.estimate_step_scale(
         p, q, p2, R_rig, t_rig, R, u, np.ones(len(p), bool), s0=np.nan)
     assert not est2.converged
+
+
+def test_hampel_log_replaces_outliers_keeps_smooth_changes():
+    rng = np.random.default_rng(0)
+    # Smooth speed profile with mild noise ...
+    true = 0.8 * (1 + 0.3 * np.sin(0.13 * np.arange(60)))
+    s = true * np.exp(rng.normal(0, 0.03, 60))
+    # ... plus catastrophic outliers and a failed (NaN) step.
+    s[20] *= 8.0
+    s[33] *= 0.12
+    s[40] = np.nan
+    out, repl = scale_mod.hampel_log(s, window=7, max_ratio=1.5)
+    assert repl[20] and repl[33] and repl[40]
+    assert np.all(np.isfinite(out))
+    # Outliers land near truth; the smooth profile is untouched.
+    assert abs(np.log(out[20] / true[20])) < 0.15
+    assert abs(np.log(out[33] / true[33])) < 0.15
+    untouched = ~repl
+    np.testing.assert_allclose(out[untouched], s[untouched])
+    assert repl.sum() <= 5  # smooth changes pass through
