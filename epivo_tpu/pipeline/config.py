@@ -147,6 +147,35 @@ class ScaleConfig:
     # justifies it. The robust lever that does generalize is more
     # keypoints per boundary (median sigma ~ 1/sqrt(n)).
     chain_smooth: int = 1
+    # Mono-chain catastrophic-boundary gate (scale.hampel_log over the
+    # per-boundary RATIOS, not a smoother): a boundary whose speed ratio
+    # is more than chain_hampel_ratio from the local median ratio (log
+    # space, window chain_hampel_window) is replaced by that median.
+    # Measured (r4, 150-frame corridor): single bad boundaries — a wrong
+    # two-view pose at one frame — put log-ratio errors of -2.25/+1.06
+    # in an otherwise ~0.05-sigma chain, and ONE such boundary permanently
+    # rescales everything after it (carry-forward), collapsing the
+    # recovered length to 0.59x. Unlike chain_smooth this touches only
+    # gross outliers (>1.5x jumps in per-frame speed), so the white-noise
+    # behaviour the chain_smooth experiments measured is unaffected.
+    # 0 disables. chain_hampel_mad_k makes the gate volatility-adaptive
+    # (threshold = max(log(ratio), mad_k * sigma_MAD of the neighborhood
+    # log-ratios)): profiles with genuine large per-step speed jumps
+    # widen their own gate and pass through untouched.
+    chain_hampel_window: int = 7
+    chain_hampel_ratio: float = 1.5
+    chain_hampel_mad_k: float = 5.0
+    # Mono-chain parallax gate: keep only the top fraction of jointly-
+    # valid points by min(back, fwd) pixel flow when taking the boundary
+    # ratio median (0 disables). Small-parallax points divide a pair-pose
+    # rotation/direction error by a tiny baseline: the error is common-
+    # mode across points, so the median does NOT average it away — it
+    # becomes a systematic per-boundary bias (measured -2.3%/boundary on
+    # the 150-frame corridor, compounding to 0.09x length over the raw
+    # chain). Gating to the highest-parallax 30% removed the bias
+    # (-0.0226 -> +0.0054 mean log-ratio error) AND halved the std
+    # (0.30 -> 0.15); sweep in scripts/diag_gates.py.
+    chain_flow_topfrac: float = 0.3
     # Re-estimate with the LM-refined step poses after the window solve and
     # impose the result on the step translations (the f32 device LM cannot
     # pull scale through the frozen baseline the way the reference's f64

@@ -489,6 +489,13 @@ def _chained_scales(pair_data: dict, n_zeta_total: int,
                                 stackf(5), stackf(6)))
     mb = np.stack([r[4] for r in rows])
     mf = np.stack([r[7] for r in rows])
+    # Per-point flow magnitudes in normalized coords (parallax proxy;
+    # quantile gating is unit-invariant) for the flow gate.
+    flow_min = np.minimum(
+        np.linalg.norm(np.stack([r[3] - r[2] for r in rows])[..., :2],
+                       axis=-1),
+        np.linalg.norm(np.stack([r[6] - r[5] for r in rows])[..., :2],
+                       axis=-1))
     row_of = {b: i for i, b in enumerate(idxs)}
     for b in range(1, n_zeta_total):
         i = row_of.get(b)
@@ -499,10 +506,37 @@ def _chained_scales(pair_data: dict, n_zeta_total: int,
         both = (vb[i] & vf[i] & mb[i] & mf[i]
                 & (dbs > sc.depth_min) & (dbs < sc.depth_max)
                 & (df[i] > sc.depth_min) & (df[i] < sc.depth_max))
+        # Parallax gate (sc.chain_flow_topfrac): a pair-pose error divided
+        # by a tiny per-point baseline is COMMON-MODE across points — the
+        # median cannot average it away, and it compounds as a systematic
+        # per-boundary scale bias. Keep only the best-conditioned
+        # (largest-flow) fraction; fall back to all points when too few.
+        if sc.chain_flow_topfrac > 0 and both.sum() >= 2 * sc.min_common:
+            thr = np.quantile(flow_min[i][both], 1 - sc.chain_flow_topfrac)
+            gated = both & (flow_min[i] >= thr)
+            if gated.sum() >= sc.min_common:
+                both = gated
         if both.sum() < sc.min_common:
             c[b] = c[b - 1]
             continue
         c[b] = np.median(dbs[both] / df[i][both])
+
+    # Catastrophic-boundary gate (sc.chain_hampel_*): one wrong two-view
+    # pose makes one boundary's ratio grossly wrong, and the chain's
+    # carry-forward structure makes that error PERMANENT — every scale
+    # after it is off by the same factor (measured: a single -2.25
+    # log-ratio boundary collapsed the 150-frame corridor to 0.59x
+    # length). Replace only such gross outliers with the local median
+    # ratio; ordinary boundary noise passes through untouched.
+    if sc.chain_hampel_ratio > 0 and n_zeta_total > 2:
+        from epivo_tpu.pipeline import scale as _scale
+
+        ratios = c[1:] / np.maximum(c[:-1], 1e-12)
+        ratios_f, _rep = _scale.hampel_log(
+            ratios, window=sc.chain_hampel_window,
+            max_ratio=sc.chain_hampel_ratio, mad_k=sc.chain_hampel_mad_k)
+        c = np.concatenate(
+            [c[:1], c[0] * np.cumprod(ratios_f)]).astype(np.float32)
 
     # Smoothness prior on the per-boundary LOG-ratios (sc.chain_smooth):
     # true speed ratios vary slowly; boundary noise is white and its

@@ -223,6 +223,7 @@ def hampel_log(
     s: np.ndarray,
     window: int = 7,
     max_ratio: float = 1.5,
+    mad_k: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Temporal consistency filter for per-step ABSOLUTE scales.
 
@@ -236,6 +237,14 @@ def hampel_log(
     smooth speed changes pass through untouched (adjacent GT ratios are
     a few percent); only full stops — degenerate for VO regardless —
     would be distorted.
+
+    With ``mad_k`` the threshold is volatility-adaptive:
+    ``max(log(max_ratio), mad_k * MAD(neighborhood logs))`` — a profile
+    whose NEIGHBORS genuinely jump around (e.g. aggressive speed changes
+    at every step) widens its own gate and passes through, while an
+    isolated catastrophic step in an otherwise tight neighborhood is
+    still caught. Used by the mono chain, whose per-boundary ratios may
+    legitimately carry large genuine jumps.
 
     Returns (cleaned array, replaced/filled mask).
     """
@@ -255,7 +264,11 @@ def hampel_log(
         if neigh.size == 0:
             continue
         m = np.median(neigh)
-        if not np.isfinite(logs[k]) or abs(logs[k] - m) > lim:
+        thr = lim
+        if mad_k is not None:
+            # 1.4826 * MAD ~ sigma for a normal neighborhood.
+            thr = max(lim, mad_k * 1.4826 * np.median(np.abs(neigh - m)))
+        if not np.isfinite(logs[k]) or abs(logs[k] - m) > thr:
             out[k] = np.exp(m)
             replaced[k] = True
     # A fully-empty input stays as-is (caller handles).

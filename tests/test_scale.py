@@ -143,3 +143,116 @@ def test_hampel_log_replaces_outliers_keeps_smooth_changes():
     untouched = ~repl
     np.testing.assert_allclose(out[untouched], s[untouched])
     assert repl.sum() <= 5  # smooth changes pass through
+
+
+# ---------------------------------------------------------------------------
+# No-GT mono chain gates (runners._chained_scales; ScaleConfig.chain_*)
+# ---------------------------------------------------------------------------
+
+
+def _chain_pair_data(steps, depths_z, n_pts=160, seed=3, T_noise=None):
+    """Synthetic pair_data for _chained_scales: identity-rotation forward
+    motion with per-step sizes ``steps``; landmarks at depths ``depths_z``
+    spread laterally. T entries are the unit-translation two-view poses
+    (X_j = R X_i + t convention, |t| = 1); observations are exact
+    projections of the true geometry. ``T_noise`` optionally maps
+    (i, j, T) -> T to inject pose error without touching observations."""
+    rng = np.random.default_rng(seed)
+    F = len(steps) + 1
+    C = np.concatenate([[0.0], np.cumsum(steps)])  # camera z-positions
+    z = np.asarray(depths_z)[rng.integers(0, len(depths_z), n_pts)]
+    z = z + rng.uniform(0, 1, n_pts)
+    x = rng.uniform(-0.5, 0.5, n_pts) * z
+    y = rng.uniform(-0.3, 0.3, n_pts) * z
+    Xw = np.stack([x, y, z + 40.0], 1)  # world frame = frame 0
+
+    def in_frame(i):
+        Xi = Xw.copy()
+        Xi[:, 2] -= C[i]
+        return Xi
+
+    def homog(X):
+        return np.concatenate([X[:, :2] / X[:, 2:3],
+                               np.ones((n_pts, 1))], 1).astype(np.float32)
+
+    pd = {}
+    for i in range(F):
+        for j in (i - 1, i + 1):
+            if not (0 <= j < F):
+                continue
+            t = np.array([0.0, 0.0, -(C[j] - C[i])])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = t / np.linalg.norm(t)
+            if T_noise is not None:
+                T = T_noise(i, j, T)
+            pd[(i, j)] = dict(
+                T=T, p_full=homog(in_frame(i)), p_t_full=homog(in_frame(j)),
+                mask_full=np.ones(n_pts, bool))
+    return pd
+
+
+def test_chained_scales_recovers_step_ratios():
+    from epivo_tpu.pipeline.config import ScaleConfig
+    from epivo_tpu.pipeline.runners import _chained_scales
+
+    steps = np.array([1.0, 1.15, 0.9, 1.05, 0.95, 1.1, 1.0])
+    pd = _chain_pair_data(steps, [10, 20, 35])
+    c = _chained_scales(pd, len(steps), ScaleConfig())
+    np.testing.assert_allclose(c, steps / steps[0], rtol=2e-2)
+
+
+def test_chain_hampel_gate_blocks_catastrophic_boundary():
+    from epivo_tpu.pipeline.config import ScaleConfig
+    import dataclasses
+
+    from epivo_tpu.pipeline.runners import _chained_scales
+
+    steps = np.array([1.0] * 9)
+    pd = _chain_pair_data(steps, [10, 20, 35])
+    # Boundary 3's backward pair comes from a world where that step was
+    # 5x bigger: its unit-|t| depths are 5x off — one catastrophically
+    # wrong two-view estimate, exactly the measured failure mode.
+    steps_bad = steps.copy()
+    steps_bad[2] = 5.0
+    pd[(3, 2)] = _chain_pair_data(steps_bad, [10, 20, 35])[(3, 2)]
+    sc_off = dataclasses.replace(ScaleConfig(), chain_hampel_ratio=0.0,
+                                 chain_flow_topfrac=0.0)
+    c_off = _chained_scales(pd, len(steps), sc_off)
+    sc_on = dataclasses.replace(ScaleConfig(), chain_flow_topfrac=0.0)
+    c_on = _chained_scales(pd, len(steps), sc_on)
+    # Ungated: the bad boundary rescales the whole tail (carry-forward).
+    assert abs(np.log(c_off[-1])) > 0.3
+    # Gated: the outlier ratio is replaced by the local median; the tail
+    # stays at the true (constant-speed) scale.
+    np.testing.assert_allclose(c_on, np.ones(len(steps)), rtol=5e-2)
+
+
+def test_chain_flow_gate_cuts_common_mode_pose_bias():
+    from epivo_tpu.pipeline.config import ScaleConfig
+    import dataclasses
+
+    from epivo_tpu.pipeline.runners import _chained_scales
+
+    steps = np.array([1.0] * 7)
+    rng = np.random.default_rng(11)
+
+    def tilt(i, j, T):
+        # Every pair pose carries an independent small rotation error (the
+        # two-view estimate is never exact). Small-parallax points divide
+        # it by a tiny baseline -> common-mode depth bias the median
+        # keeps, different at every boundary, compounding down the chain.
+        th = rng.normal(0, 0.002)
+        R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]], np.float32)
+        T = T.copy()
+        T[:3, :3] = R
+        return T
+
+    # Far-heavy scene: most landmarks have tiny flow.
+    pd = _chain_pair_data(steps, [15, 300, 400, 500, 600], T_noise=tilt)
+    sc_off = dataclasses.replace(ScaleConfig(), chain_flow_topfrac=0.0,
+                                 chain_hampel_ratio=0.0)
+    sc_on = dataclasses.replace(ScaleConfig(), chain_hampel_ratio=0.0)
+    err_off = np.abs(np.log(_chained_scales(pd, len(steps), sc_off))).max()
+    err_on = np.abs(np.log(_chained_scales(pd, len(steps), sc_on))).max()
+    assert err_on < 0.6 * err_off
