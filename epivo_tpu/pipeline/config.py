@@ -158,13 +158,19 @@ class ScaleConfig:
     # recovered length to 0.59x. Unlike chain_smooth this touches only
     # gross outliers (>1.5x jumps in per-frame speed), so the white-noise
     # behaviour the chain_smooth experiments measured is unaffected.
-    # 0 disables. chain_hampel_mad_k makes the gate volatility-adaptive
-    # (threshold = max(log(ratio), mad_k * sigma_MAD of the neighborhood
-    # log-ratios)): profiles with genuine large per-step speed jumps
-    # widen their own gate and pass through untouched.
+    # 0 disables. chain_hampel_mad_k > 0 makes the gate volatility-
+    # adaptive (threshold = max(log(ratio), mad_k * sigma_MAD of the
+    # neighborhood log-ratios)) so profiles with genuine large per-step
+    # speed jumps widen their own gate — but it is OFF by default:
+    # measured on the corridor, catastrophic boundaries CLUSTER (several
+    # bad pairs in a hard stretch), the local MAD then reads the cluster
+    # as volatility and opens the gate exactly where it is needed
+    # (150-frame chain drift -0.62 fixed vs +0.80 adaptive). Platforms
+    # with genuinely aggressive per-frame speed changes should raise
+    # chain_hampel_ratio (or set mad_k) instead.
     chain_hampel_window: int = 7
     chain_hampel_ratio: float = 1.5
-    chain_hampel_mad_k: float = 5.0
+    chain_hampel_mad_k: float = 0.0
     # Mono-chain parallax gate: keep only the top fraction of jointly-
     # valid points by min(back, fwd) pixel flow when taking the boundary
     # ratio median (0 disables). Small-parallax points divide a pair-pose

@@ -534,7 +534,8 @@ def _chained_scales(pair_data: dict, n_zeta_total: int,
         ratios = c[1:] / np.maximum(c[:-1], 1e-12)
         ratios_f, _rep = _scale.hampel_log(
             ratios, window=sc.chain_hampel_window,
-            max_ratio=sc.chain_hampel_ratio, mad_k=sc.chain_hampel_mad_k)
+            max_ratio=sc.chain_hampel_ratio,
+            mad_k=sc.chain_hampel_mad_k or None)
         c = np.concatenate(
             [c[:1], c[0] * np.cumprod(ratios_f)]).astype(np.float32)
 

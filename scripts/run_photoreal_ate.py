@@ -126,14 +126,24 @@ def main():
             gt_aln = np.linalg.inv(gt[0])[None] @ gt[: traj.shape[0]]
             ate_sim3 = ev.ate_rmse(traj, gt_aln, align=True, with_scale=True)
             ate_se3 = ev.ate_rmse(traj, gt_aln, align=True, with_scale=False)
-            est_len = float(np.sum(np.linalg.norm(
-                np.diff(traj[:, :3, 3], axis=0), axis=-1)))
+            est_step = np.linalg.norm(np.diff(traj[:, :3, 3], axis=0),
+                                      axis=-1)
+            gt_step = np.linalg.norm(
+                np.diff(gt_aln[: traj.shape[0], :3, 3], axis=0), axis=-1)
+            # Monocular no-GT scale has an unobservable GLOBAL gauge (the
+            # chain's unit is its first step); fix the gauge on step 0 and
+            # report the remaining length ratio — the cumulative RELATIVE
+            # scale drift, which IS observable. (The raw est/gt ratio also
+            # contains the arbitrary 1/|gt_step0| unit factor; earlier
+            # rounds' "recovered_over_true_length" mixed the two.)
+            g0 = gt_step[0] / max(est_step[0], 1e-12)
             out[tag] = {
                 "ate_sim3_rmse_m": round(float(ate_sim3), 4),
                 "ate_sim3_pct_of_length":
                     round(100.0 * float(ate_sim3) / length, 3),
                 "ate_se3_rmse_m": round(float(ate_se3), 4),
-                "recovered_over_true_length": round(est_len / length, 4),
+                "length_ratio_gauge0":
+                    round(float(est_step.sum() * g0 / gt_step.sum()), 4),
                 "windows_reverted":
                     int(res_ba.per_frame["window_reverted"].sum()),
                 "windows_total":
