@@ -101,17 +101,8 @@ def _lk_kernel(win, S, iters, eps, tgt_ref, T_ref, Ix_ref, Iy_ref, q_ref,
     # trips a Mosaic mask-layout bug (i1 packing mismatch across iterations).
     done0 = jnp.zeros_like(qx0)
 
-    def cond(carry):
-        i, _, _, done = carry
-        # Early exit once EVERY lane is frozen: at fine pyramid levels the
-        # coarse-level guess leaves a subpixel residual that converges in
-        # a handful of iterations, so the adaptive trip count is typically
-        # far below the 30-iteration cap. Semantics identical to the
-        # fixed-count loop (frozen lanes never move).
-        return jnp.logical_and(i < iters, jnp.min(done) < 0.5)
-
-    def body(carry):
-        i, qx, qy, done = carry  # q/done each [1, Kb]
+    def body(_, carry):
+        qx, qy, done = carry  # each [1, Kb]
         P = _sample(tgt, qx[0], qy[0], win, n_off)
         dI = P - T
         bx = jnp.sum(dI * Ix, axis=(0, 1))[None, :]
@@ -124,10 +115,14 @@ def _lk_kernel(win, S, iters, eps, tgt_ref, T_ref, Ix_ref, Iy_ref, q_ref,
         done_n = jnp.maximum(
             done, (jnp.sqrt(dx * dx + dy * dy) < eps).astype(done.dtype)
         )
-        return i + 1, qx_n, qy_n, done_n
+        return qx_n, qy_n, done_n
 
-    _, qx, qy, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), qx0, qy0, done0))
+    # Early-exit (while_loop on "all 128 lanes frozen") was A/B-measured
+    # in r4 on the photoreal stage bench: 1.357 ms fixed-count vs
+    # 1.391 ms adaptive — one unconverged lane per block keeps the whole
+    # block iterating, so the exit almost never fires and the per-
+    # iteration all-done reduction is pure overhead. Fixed count stays.
+    qx, qy, _ = jax.lax.fori_loop(0, iters, body, (qx0, qy0, done0))
 
     P_fin = _sample(tgt, qx[0], qy[0], win, n_off)
     err_ref[:, :] = jnp.mean(jnp.abs(P_fin - T), axis=(0, 1))[None, :]
