@@ -245,3 +245,83 @@ def corridor_stereo_sequence(
 
     return (cam_frames(0.0, seed + 200), cam_frames(baseline, seed + 300),
             gt, K, T_rig)
+
+
+def loop_trajectory(
+    n_out: int = 60,
+    n_turn: int = 52,
+    n_back: int = 60,
+    n_close: int = 12,
+    speed: float = 0.6,
+    turn_speed: float = 0.15,
+    lateral: float = 4.8,
+):
+    """Out-and-back loop course inside the corridor: straight out, slow
+    180-degree arc (radius ~ turn_speed * n_turn / pi, bounded by the
+    corridor half-width), straight back along the other lane, second arc,
+    and a short closing straight that re-traverses the start region with
+    the ORIGINAL heading — the final frames see the same view as the
+    first ones, which is what loop-closure detection needs.
+
+    Returns gt [F, 4, 4] camera-to-world poses (+z forward, yaw about +y,
+    same composition convention as :func:`corridor_sequence`).
+    """
+    d_yaw = np.pi / n_turn
+    phases = (
+        [(0.0, speed)] * n_out
+        + [(d_yaw, turn_speed)] * n_turn
+        + [(0.0, speed)] * n_back
+        + [(d_yaw, turn_speed)] * n_turn
+        + [(0.0, speed)] * n_close
+    )
+    gt = []
+    T = np.eye(4)
+    for yaw, s in phases:
+        gt.append(T.copy())
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        step = np.eye(4)
+        step[:3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        step[:3, 3] = [0.0, 0.0, s]
+        T = T @ step
+    gt = np.stack(gt)
+    # Keep the course inside the corridor (|x| < wall_x): the arc's
+    # lateral displacement is 2 * radius; rescale x if needed.
+    x = gt[:, 0, 3]
+    span = x.max() - x.min()
+    if span > lateral:
+        gt[:, 0, 3] *= lateral / span
+    return gt
+
+
+def loop_sequence(
+    H: int = 376,
+    W: int = 1241,
+    K: np.ndarray | None = None,
+    scene: CorridorScene = CorridorScene(),
+    exposure_drift: float = 0.15,
+    noise_sigma: float = 2.0,
+    seed: int = 0,
+    **traj_kwargs,
+):
+    """Photoreal out-and-back loop sequence (frames iterator, gt, K).
+
+    Same renderer and photometric model as :func:`corridor_sequence`, on
+    the :func:`loop_trajectory` course — the loop-closure fixture (the
+    reference has no loop-capable dataset generator at all).
+    """
+    if K is None:
+        K = np.array([[718.856, 0, W / 2.0], [0, 718.856, H / 2.0],
+                      [0, 0, 1.0]])
+    gt = loop_trajectory(**traj_kwargs)
+    textures = scene.textures()
+
+    def frames():
+        frng = np.random.default_rng(seed + 200)
+        for f in range(len(gt)):
+            expo = 1.0 + exposure_drift * np.sin(0.05 * f)
+            bias = 4.0 * np.sin(0.03 * f + 1.0)
+            yield render_frame(scene, textures, K, gt[f], H, W,
+                               exposure=expo, bias=bias,
+                               noise_sigma=noise_sigma, rng=frng)
+
+    return frames(), gt, K

@@ -157,6 +157,13 @@ def detect_and_describe_pyramid(
             ), (nh, nw), method="linear")
             cur_scale *= scale_factor
 
+    if not xs:
+        raise ValueError(
+            f"detect_and_describe_pyramid: image {img.shape} is smaller "
+            f"than 2*PATCH={2 * PATCH} at every level — no level can "
+            "host the oriented-BRIEF patch (use plain describe(), or a "
+            "bigger image)."
+        )
     from epivo_tpu.frontend.fast import Keypoints
 
     kps = Keypoints(

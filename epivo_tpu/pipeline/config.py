@@ -207,6 +207,25 @@ class GlobalBAConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (pipeline/loopclose.py): keyframe Hamming retrieval
+    on the MXU + ORB/RANSAC geometric verification + SE(3) drift
+    spreading. The reference has no loop closure at all (PARITY known
+    gaps); this is the drift lever beyond the windowed BA + global BA
+    stages. Off by default — it is a post-stage over the assembled
+    trajectory."""
+
+    enabled: bool = False
+    keyframe_stride: int = 8  # store every Nth frame (half-res) as keyframe
+    min_gap: int = 40  # frames; a candidate must be at least this old
+    max_dist: float = 64.0  # Hamming gate for candidate scoring + verify
+    min_matches: int = 60  # mutual matches to shortlist a candidate
+    min_inliers: int = 40  # RANSAC inliers to accept a verified loop
+    max_keypoints: int = 512  # ORB budget per keyframe (half-res image)
+    max_loops: int = 4  # strongest verified loops applied per run
+
+
+@dataclasses.dataclass(frozen=True)
 class VOConfig:
     """Two-view VO pipeline (kitti_E equivalent)."""
 
@@ -229,5 +248,6 @@ class BAConfig:
     )
     scale: ScaleConfig = ScaleConfig()
     global_ba: GlobalBAConfig = GlobalBAConfig()
+    loop: LoopConfig = LoopConfig()
     window_size: int = 3  # ws, ref `kitti_ba.cpp:1107`
     stride: int = 2  # stridew = ws - 1, ref `kitti_ba.cpp:1134`

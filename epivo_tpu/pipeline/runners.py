@@ -1229,6 +1229,19 @@ def run_ba_sequence(
 
         ckpt = ckpt_mod.SequenceCheckpointer(checkpoint_dir,
                                              every=checkpoint_every)
+    kf_store: dict[int, np.ndarray] = {}
+    if config.loop.enabled:
+        from epivo_tpu.pipeline import loopclose
+
+        def _tee(src, stride=config.loop.keyframe_stride):
+            # Keyframe k AND its adjacent frame k+1 (the verification
+            # stage's norm-recovery pair; see loopclose module docstring).
+            for idx, f in enumerate(src):
+                if idx % stride == 0 or idx % stride == 1:
+                    kf_store[idx] = loopclose.keyframe_half(f)
+                yield f
+
+        frames = _tee(frames)
     win = prepare_mono_windows(frames, config, gt_poses=gt_poses, seed=seed,
                                ckpt=ckpt, use_orb=use_orb, n_frames=n_frames,
                                mlog=mlog, batch=batch,
@@ -1276,8 +1289,28 @@ def run_ba_sequence(
                                   mlog=mlog)
         mlog.log({"stage": "global_ba_wall", "wall_s":
                   round(_time.time() - t_g, 2)})
-    mlog.close()
     traj = np.asarray(ba_mod.trajectory_from_zetas(jnp.asarray(zetas)))
+
+    if config.loop.enabled and kf_store:
+        # Loop-closure post-stage (pipeline/loopclose.py): MXU keyframe
+        # retrieval + ORB/RANSAC verification + SE(3) drift spreading —
+        # the long-trajectory drift lever the short-span stages cannot
+        # reach (the reference has no loop closure at all).
+        from epivo_tpu.geometry import camera as cam_mod
+        from epivo_tpu.pipeline import loopclose
+
+        c = config.camera
+        half_cam = cam_mod.Pinhole(c.fx / 2, c.fy / 2, c.cx / 2, c.cy / 2,
+                                   c.width // 2, c.height // 2)
+        vo_cfg_half = VOConfig(
+            camera=half_cam,
+            frontend=dataclasses.replace(
+                config.frontend, max_keypoints=config.loop.max_keypoints),
+            ransac=config.ransac, lm=config.lm)
+        traj, _loops = loopclose.close_loops(traj, kf_store, config,
+                                             vo_cfg_half, seed=seed,
+                                             mlog=mlog)
+    mlog.close()
 
     ate = rpe_t = None
     gt_traj = None

@@ -1,0 +1,184 @@
+"""Loop closure (pipeline/loopclose.py): retrieval, drift spreading, and
+the photoreal loop fixture, plus an imagery-level end-to-end check."""
+
+import numpy as np
+import pytest
+
+from epivo_tpu.pipeline import loopclose
+from epivo_tpu.pipeline.config import LoopConfig
+
+
+def _rand_signs(rng, n, m, b=256):
+    return (rng.integers(0, 2, (n, m, b)) * 2 - 1).astype(np.float32)
+
+
+def test_retrieval_finds_planted_revisit():
+    rng = np.random.default_rng(0)
+    N, M = 8, 64
+    signs = _rand_signs(rng, N, M)
+    # Keyframe 6 revisits keyframe 1: same descriptors, 5% bit noise.
+    flips = rng.random((M, 256)) < 0.05
+    signs[6] = np.where(flips, -signs[1], signs[1])
+    valid = np.ones((N, M), bool)
+    scores = np.asarray(loopclose.retrieval_scores(signs, valid, 64.0))
+    # Highest off-diagonal score is the planted pair, strongly separated.
+    off = scores.copy()
+    np.fill_diagonal(off, 0)
+    assert off[6, 1] == off.max()
+    assert off[6, 1] >= 0.8 * M
+    others = np.delete(off[6], [1, 6])
+    assert off[6, 1] > 4 * max(1, others.max())
+
+    kf_idx = [0, 8, 16, 24, 32, 40, 48, 56]
+    cands = loopclose.shortlist(
+        scores, kf_idx, LoopConfig(min_gap=30, min_matches=20))
+    assert cands and cands[0][:2] == (6, 1)
+    # A tighter gap gate excludes it (48 - 8 = 40 < 64).
+    assert not loopclose.shortlist(
+        scores, kf_idx, LoopConfig(min_gap=64, min_matches=20))
+
+
+def _smooth_traj(F=50, seed=1):
+    from epivo_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    T = np.eye(4)
+    out = [T.copy()]
+    for _ in range(F - 1):
+        xi = np.concatenate([
+            rng.normal(0, 0.02, 3), [0.1, 0.02, 0.9] + rng.normal(0, 0.05, 3)
+        ])
+        step = np.asarray(se3.se3_exp(jnp.asarray(xi)), np.float64)
+        T = T @ step
+        out.append(T.copy())
+    return np.stack(out)
+
+
+def test_spread_drift_closes_loop_exactly():
+    from epivo_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    gt = _smooth_traj()
+    i, j = 2, 47
+    # The measured loop transform comes from the TRUE geometry:
+    # traj_j = traj_i @ inv(T_ij)  ->  T_meas = inv(inv(traj_i) @ traj_j).
+    T_meas = np.linalg.inv(np.linalg.inv(gt[i]) @ gt[j])
+
+    # Drifted estimate: extra yaw + translation error injected per step.
+    drift = np.asarray(
+        se3.se3_exp(jnp.asarray([0.0, 0.008, 0.0, 0.02, 0.0, 0.04])),
+        np.float64)
+    est = gt.copy()
+    for k in range(1, len(est)):
+        step = np.linalg.inv(gt[k - 1]) @ gt[k]
+        est[k] = est[k - 1] @ step @ drift
+
+    pre = np.linalg.norm((np.linalg.inv(est[i]) @ est[j])[:3, 3]
+                         - np.linalg.inv(T_meas)[:3, 3])
+    out = loopclose.spread_drift(est, i, j, T_meas)
+    # Endpoint-exact closure.
+    # Endpoint-exact up to the f32 se3 log/exp roundtrip (~3e-6).
+    np.testing.assert_allclose(np.linalg.inv(out[i]) @ out[j],
+                               np.linalg.inv(T_meas), atol=1e-4)
+    assert pre > 0.1  # the drift was material
+    # Untouched prefix; rigid carry after j (relative poses preserved).
+    np.testing.assert_allclose(out[: i + 1], est[: i + 1], atol=0)
+    np.testing.assert_allclose(
+        np.linalg.inv(out[j]) @ out[-1],
+        np.linalg.inv(est[j]) @ est[-1], atol=1e-9)
+    # Interior poses move toward the truth.
+    ate_pre = np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean())
+    ate_post = np.sqrt(((out[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean())
+    assert ate_post < 0.5 * ate_pre
+
+
+def test_loop_trajectory_geometry():
+    from epivo_tpu.datasets import photoreal
+
+    gt = photoreal.loop_trajectory()
+    # Stays inside the corridor and returns to the start lane with the
+    # original heading.
+    assert np.abs(gt[:, 0, 3]).max() < 5.5
+    assert abs(gt[-1][0, 3]) < 0.3
+    fwd = gt[-1][:3, :3] @ np.array([0, 0, 1.0])
+    assert fwd[2] > 0.99
+    # The closing straight re-traverses the start region.
+    assert 0.0 < gt[-1][2, 3] < 12.0
+
+
+@pytest.mark.slow
+def test_close_loops_on_photoreal_fixture():
+    """Imagery-level: render the loop course, inject trajectory drift,
+    and check retrieval + ORB/RANSAC verification + spreading recover it."""
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.geometry import camera as cam_mod, se3
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+    import jax.numpy as jnp
+
+    H, W = 188, 620
+    K = np.array([[359.4, 0, W / 2.0], [0, 359.4, H / 2.0], [0, 0, 1.0]])
+    frames, gt, _ = photoreal.loop_sequence(H=H, W=W, K=K, noise_sigma=1.0)
+    stride = 8
+    kf = {}
+    for idx, f in enumerate(frames):
+        if idx % stride in (0, 1):  # keyframe + adjacent norm-pair frame
+            kf[idx] = loopclose.keyframe_half(f)
+
+    # Drifted trajectory: per-step yaw + scale error on the GT chain.
+    drift = np.asarray(
+        se3.se3_exp(jnp.asarray([0.0, 0.0015, 0.0, 0.0, 0.0, 0.008])),
+        np.float64)
+    est = gt.copy().astype(np.float64)
+    for k in range(1, len(est)):
+        step = np.linalg.inv(gt[k - 1]) @ gt[k]
+        est[k] = est[k - 1] @ step @ drift
+
+    cfg = BAConfig(
+        camera=cam_mod.Pinhole(359.4, 359.4, W / 2.0, H / 2.0, W, H),
+        frontend=FrontendConfig(fast_threshold=25.0, max_keypoints=512),
+        ransac=RansacConfig(n_hyp=512),
+        lm=LMConfig(n_points=32),
+        loop=LoopConfig(enabled=True, min_gap=60, min_matches=30,
+                        min_inliers=25),
+    )
+    c = cfg.camera
+    half_cam = cam_mod.Pinhole(c.fx / 2, c.fy / 2, c.cx / 2, c.cy / 2,
+                               c.width // 2, c.height // 2)
+    vo_half = VOConfig(camera=half_cam, frontend=cfg.frontend,
+                       ransac=cfg.ransac, lm=cfg.lm)
+    traj2, loops = loopclose.close_loops(est, kf, cfg, vo_half, seed=0)
+    assert loops, "no loop detected+verified on the loop fixture"
+    ate_pre = np.sqrt(
+        ((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean())
+    ate_post = np.sqrt(
+        ((traj2[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean())
+    assert ate_post < 0.7 * ate_pre, (ate_pre, ate_post, loops)
+
+
+def test_runner_loop_stage_noop_on_short_sequence():
+    """run_ba_sequence with loop.enabled streams keyframes through the
+    tee and runs the post-stage; on a short straight sequence no loop
+    passes the gap gate, and the trajectory is identical to loop-off."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_runners_datasets import CAM, VO_CFG, make_sequence
+    from epivo_tpu.pipeline import runners
+    from epivo_tpu.pipeline.config import BAConfig, LMConfig
+
+    frames, gt = make_sequence(F=6)
+    cfg_on = BAConfig(camera=CAM, frontend=VO_CFG.frontend,
+                      ransac=VO_CFG.ransac,
+                      lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+                      loop=LoopConfig(enabled=True, keyframe_stride=2,
+                                      min_gap=100))
+    res_on = runners.run_ba_sequence(list(frames), cfg_on, gt_poses=gt)
+    cfg_off = BAConfig(camera=CAM, frontend=VO_CFG.frontend,
+                       ransac=VO_CFG.ransac,
+                       lm=LMConfig(n_points=32, revert_r_norm=1e-2))
+    frames2, gt2 = make_sequence(F=6)
+    res_off = runners.run_ba_sequence(list(frames2), cfg_off, gt_poses=gt2)
+    np.testing.assert_allclose(res_on.trajectory, res_off.trajectory,
+                               atol=1e-6)
