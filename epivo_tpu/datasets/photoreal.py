@@ -274,6 +274,16 @@ def loop_trajectory(
         + [(d_yaw, turn_speed)] * n_turn
         + [(0.0, speed)] * n_close
     )
+    # Smooth the speed transitions (vehicles decelerate over several
+    # frames; a hard 4x per-frame speed step would also read as a
+    # catastrophic boundary to the scale chain's temporal gate).
+    ramp = 8
+    sp = np.array([s for _, s in phases])
+    k = np.ones(ramp) / ramp
+    sp = np.convolve(np.concatenate([sp[:1].repeat(ramp // 2), sp,
+                                     sp[-1:].repeat(ramp - 1 - ramp // 2)]),
+                     k, mode="valid")
+    phases = [(y, s) for (y, _), s in zip(phases, sp)]
     gt = []
     T = np.eye(4)
     for yaw, s in phases:

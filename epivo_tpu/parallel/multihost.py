@@ -160,10 +160,12 @@ def _test_worker(process_id: int, num_processes: int, port: int,
     pp = np.stack([np.asarray(s.p) for s in scenes])
     pt = np.stack([np.asarray(s.p_t) for s in scenes])
     wreps = np.ones((hi - lo, spec.reps.shape[0]), np.float32)
+    pmask = np.ones((hi - lo, spec.reps.shape[0], 8), bool)
 
-    g_T0s, g_p, g_pt, g_w = global_window_arrays(mesh, T0s, pp, pt, wreps)
+    g_T0s, g_p, g_pt, g_w, g_m = global_window_arrays(
+        mesh, T0s, pp, pt, wreps, pmask)
     step = dist.distributed_ba_step(fold_win_mesh(mesh), spec, cfg)
-    out = step(g_T0s, g_p, g_pt, g_w)
+    out = step(g_T0s, g_p, g_pt, g_w, g_m)
     jax.block_until_ready(out.trajectory)
     traj = np.asarray(out.trajectory)  # replicated -> same on every host
 

@@ -37,6 +37,7 @@ class SequenceResult(NamedTuple):
     cloud: np.ndarray  # [N, 3] triangulated world points
     cloud_limits: np.ndarray  # [F-1] cumulative counts per frame (lims file)
     per_frame: dict  # diagnostics arrays
+    loops: tuple = ()  # applied loopclose.Loop edges (BA runner, if enabled)
 
 
 # Jitted key splitter: the hot loops must not run EAGER jax ops (through
@@ -1307,9 +1308,11 @@ def run_ba_sequence(
             frontend=dataclasses.replace(
                 config.frontend, max_keypoints=config.loop.max_keypoints),
             ransac=config.ransac, lm=config.lm)
-        traj, _loops = loopclose.close_loops(traj, kf_store, config,
-                                             vo_cfg_half, seed=seed,
-                                             mlog=mlog)
+        traj, loops_applied = loopclose.close_loops(traj, kf_store, config,
+                                                    vo_cfg_half, seed=seed,
+                                                    mlog=mlog)
+    else:
+        loops_applied = []
     mlog.close()
 
     ate = rpe_t = None
@@ -1331,4 +1334,5 @@ def run_ba_sequence(
             "window_r_norm": np.asarray(out.r_norm),
             "window_reverted": np.asarray(out.reverted),
         },
+        loops=tuple(loops_applied),
     )
