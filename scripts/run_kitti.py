@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--global-ba", action="store_true",
                     help="polish the windowed result with one joint "
                          "full-trajectory BA (ba mode)")
+    ap.add_argument("--loop-close", action="store_true",
+                    help="loop-closure post-stage: keyframe retrieval + "
+                         "verification + drift spreading (ba mode)")
     args = ap.parse_args()
 
     if args.platform:
@@ -129,9 +132,12 @@ def main():
                        lm=LMConfig(n_points=48))
         res = runners.run_gt_triangulation_sequence(frames, cfg, gt_poses=gt)
     elif args.mode == "ba":
+        from epivo_tpu.pipeline.config import LoopConfig
+
         cfg = BAConfig(camera=cam, frontend=fe, ransac=rc,
                        lm=LMConfig(n_points=32, revert_r_norm=1e-2),
-                       global_ba=GlobalBAConfig(enabled=args.global_ba))
+                       global_ba=GlobalBAConfig(enabled=args.global_ba),
+                       loop=LoopConfig(enabled=args.loop_close))
         # Streamed: the native loader feeds the bounded FrameStream; a full
         # KITTI sequence never materializes (VERDICT r2 missing #4).
         res = runners.run_ba_sequence(
@@ -177,6 +183,7 @@ def main():
         "config": {
             "batch": args.batch, "pipeline_depth": args.pipeline_depth,
             "devices": args.devices or 1, "global_ba": args.global_ba,
+            "loop_close": args.loop_close,
             "n_hyp": args.n_hyp, "max_keypoints": args.max_keypoints,
             "platform": jax.devices()[0].platform,
         },
