@@ -39,8 +39,13 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-ba", action="store_true")
+    ap.add_argument("--skip-vo", action="store_true",
+                    help="keep the existing artifact's VO block")
     ap.add_argument("--skip-global", action="store_true",
                     help="skip the global-BA polish comparison run")
+    ap.add_argument("--ba-seeds", type=str, default="0",
+                    help="comma list; >1 seeds quantifies the no-GT "
+                         "chain's run-to-run realization variance")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--pipeline-depth", type=int, default=2)
     args = ap.parse_args()
@@ -70,13 +75,24 @@ def main():
         ransac=RansacConfig(n_hyp=512),
         lm=LMConfig(n_points=48),
     )
-    t0 = time.time()
-    res = runners.run_vo_sequence(frames, cfg, gt_poses=gt, batch=args.batch,
-                                  collect_cloud=False,
-                                  pipeline_depth=args.pipeline_depth)
-    wall = time.time() - t0
     length = float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0),
                                          axis=-1)))
+    art_path = os.path.join(REPO, "ATE_photoreal.json")
+    if args.skip_vo and os.path.exists(art_path):
+        vo_block = json.load(open(art_path)).get("vo_gt_scale")
+    else:
+        t0 = time.time()
+        res = runners.run_vo_sequence(frames, cfg, gt_poses=gt,
+                                      batch=args.batch, collect_cloud=False,
+                                      pipeline_depth=args.pipeline_depth)
+        vo_block = {
+            "ate_rmse_m": round(float(res.ate), 4),
+            "ate_pct_of_length": round(100.0 * float(res.ate) / length, 3),
+            "rpe_t_m": round(float(res.rpe_t), 4),
+            "inliers_mean": float(res.per_frame["n_inliers"].mean()),
+            "reverted_frames": int(res.per_frame["reverted"].sum()),
+            "wall_s_total": round(time.time() - t0, 1),
+        }
     out = {
         "fixture": "photoreal corridor (texture+occlusion+exposure drift"
                    "+sensor noise)",
@@ -93,21 +109,14 @@ def main():
             "fast_threshold": 30.0, "max_keypoints": 512, "n_hyp": 512,
             "wall_includes_render": True,
         },
-        "vo_gt_scale": {
-            "ate_rmse_m": round(float(res.ate), 4),
-            "ate_pct_of_length": round(100.0 * float(res.ate) / length, 3),
-            "rpe_t_m": round(float(res.rpe_t), 4),
-            "inliers_mean": float(res.per_frame["n_inliers"].mean()),
-            "reverted_frames": int(res.per_frame["reverted"].sum()),
-            "wall_s_total": round(wall, 1),
-        },
+        "vo_gt_scale": vo_block,
     }
 
     if not args.skip_ba:
         from epivo_tpu.eval import metrics as ev
         from epivo_tpu.pipeline.config import BAConfig, GlobalBAConfig
 
-        def ba_run(tag, gba):
+        def ba_run(tag, gba, seed=0):
             ba_cfg = BAConfig(
                 camera=cam, frontend=cfg.frontend, ransac=cfg.ransac,
                 lm=LMConfig(n_points=32, revert_r_norm=1e-2),
@@ -120,7 +129,8 @@ def main():
             t0 = time.time()
             res_ba = runners.run_ba_sequence(
                 frames2, ba_cfg, gt_poses=None, n_frames=args.frames,
-                batch=args.batch, pipeline_depth=args.pipeline_depth)
+                seed=seed, batch=args.batch,
+                pipeline_depth=args.pipeline_depth)
             wall_ba = time.time() - t0
             traj = res_ba.trajectory
             gt_aln = np.linalg.inv(gt[0])[None] @ gt[: traj.shape[0]]
@@ -151,7 +161,20 @@ def main():
                 "wall_s_total": round(wall_ba, 1),
             }
 
-        ba_run("ba_no_gt", GlobalBAConfig(enabled=False))
+        seeds = [int(x) for x in args.ba_seeds.split(",")]
+        for s in seeds:
+            tag = "ba_no_gt" if s == seeds[0] else "ba_no_gt_seed%d" % s
+            ba_run(tag, GlobalBAConfig(enabled=False), seed=s)
+        if len(seeds) > 1:
+            # The no-GT chain's realization varies run to run: the late
+            # corridor section (the camera reaches the fixture's back
+            # wall) puts several boundaries in a near-chaotic regime, so
+            # RANSAC draw changes (seed, or relay recompilation changing
+            # f32 rounding at near-ties) move the sim3 ATE by percents of
+            # length. Report the spread rather than one lucky draw.
+            vals = [out[t]["ate_sim3_pct_of_length"]
+                    for t in out if t.startswith("ba_no_gt")]
+            out["ba_no_gt_seed_spread_pct"] = [min(vals), max(vals)]
         if not args.skip_global:
             # Global full-trajectory polish (VERDICT r3 missing #3): one
             # joint LM over the complete consecutive+skip constraint graph.
