@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--ba-seeds", type=str, default="0",
                     help="comma list; >1 seeds quantifies the no-GT "
                          "chain's run-to-run realization variance")
+    ap.add_argument("--collision-free", action="store_true",
+                    help="extra no-GT run with the back wall beyond the "
+                         "trajectory end (no wall collision)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--pipeline-depth", type=int, default=2)
     args = ap.parse_args()
@@ -116,16 +119,17 @@ def main():
         from epivo_tpu.eval import metrics as ev
         from epivo_tpu.pipeline.config import BAConfig, GlobalBAConfig
 
-        def ba_run(tag, gba, seed=0):
+        def ba_run(tag, gba, seed=0, scene=None):
             ba_cfg = BAConfig(
                 camera=cam, frontend=cfg.frontend, ransac=cfg.ransac,
                 lm=LMConfig(n_points=32, revert_r_norm=1e-2),
                 global_ba=gba,
             )
             # Fresh streamed generator: no GT in the estimation path.
+            kw = {} if scene is None else {"scene": scene}
             frames2, _, _ = photoreal.corridor_sequence(
                 args.frames, H=H, W=W, K=K, speed=0.8, exposure_drift=0.15,
-                noise_sigma=2.0, seed=7)
+                noise_sigma=2.0, seed=7, **kw)
             t0 = time.time()
             res_ba = runners.run_ba_sequence(
                 frames2, ba_cfg, gt_poses=None, n_frames=args.frames,
@@ -175,6 +179,17 @@ def main():
             vals = [out[t]["ate_sim3_pct_of_length"]
                     for t in out if t.startswith("ba_no_gt")]
             out["ba_no_gt_seed_spread_pct"] = [min(vals), max(vals)]
+        if args.collision_free:
+            # The legacy scene's back wall sits at z=220 while a 300-frame
+            # run travels 240 m: the camera drives THROUGH it and the last
+            # ~40 frames are geometric garbage. This block measures the
+            # SAME course with the wall pushed beyond the trajectory —
+            # the collision-free accuracy (GT course itself unchanged:
+            # corridor_sequence's gt does not depend on the scene).
+            from epivo_tpu.datasets.photoreal import CorridorScene
+
+            ba_run("ba_no_gt_collision_free", GlobalBAConfig(enabled=False),
+                   scene=CorridorScene(back_z=float(args.frames) * 0.9 + 60))
         if not args.skip_global:
             # Global full-trajectory polish (VERDICT r3 missing #3): one
             # joint LM over the complete consecutive+skip constraint graph.
