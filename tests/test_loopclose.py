@@ -182,3 +182,31 @@ def test_runner_loop_stage_noop_on_short_sequence():
     res_off = runners.run_ba_sequence(list(frames2), cfg_off, gt_poses=gt2)
     np.testing.assert_allclose(res_on.trajectory, res_off.trajectory,
                                atol=1e-6)
+
+
+def test_kitti_cli_ba_with_loop_close(tmp_path, monkeypatch):
+    """Driver-level smoke: run_kitti.py --mode ba --loop-close --global-ba
+    plumbs LoopConfig through the CLI; the tiny noise fixture exercises
+    the keyframe tee + the loop stage's too-small-image no-op guard."""
+    import importlib.util
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_runners_datasets import fake_kitti
+
+    root = fake_kitti(tmp_path, F=6)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "run_kitti.py")
+    spec = importlib.util.spec_from_file_location("run_kitti_cli", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_kitti.py", "--root", root, "--seq", "00", "--mode", "ba",
+        "--frames", "6", "--batch", "4", "--out", out,
+        "--fast-threshold", "10", "--max-keypoints", "64",
+        "--n-hyp", "64", "--loop-close", "--global-ba",
+    ])
+    mod.main()
+    assert os.path.exists(os.path.join(out, "kitti.T"))
