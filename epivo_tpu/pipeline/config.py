@@ -182,6 +182,25 @@ class ScaleConfig:
     # (-0.0226 -> +0.0054 mean log-ratio error) AND halved the std
     # (0.30 -> 0.15); sweep in scripts/diag_gates.py.
     chain_flow_topfrac: float = 0.3
+    # No-GT mono scale GRAPH (scale.scale_graph_solve): fuse up to three
+    # independent boundary-ratio measurements per edge (boundary depth
+    # ratio + forward/backward skip-pair vector closures) with a Huber
+    # M-estimate, instead of the single-measurement sequential chain.
+    # Extraction then adds skip pairs at every frame and backward-skip
+    # pairs (~60% more pairs) — the redundancy that lets one corrupted
+    # two-view pose be OUT-VOTED instead of permanently rescaling the
+    # tail (the 88x length blow-up of r4 seed 1, VERDICT r4 weak #1).
+    graph: bool = True
+    # Huber width for the per-edge M-estimate, in SIGMA-NORMALIZED
+    # residual units (each measurement carries its own estimated std).
+    graph_huber: float = 2.0
+    # Constant-speed prior: each edge's log-ratio is pulled toward 0
+    # with weight 1/graph_prior_sigma^2 — i.e. the prior behaves like
+    # one extra measurement of 0 with this std (log units). Weak enough
+    # that a well-measured boundary (sigma ~0.07) barely feels it;
+    # strong enough to hold the scale through boundaries where every
+    # measurement family degrades together (low parallax).
+    graph_prior_sigma: float = 0.3
     # Re-estimate with the LM-refined step poses after the window solve and
     # impose the result on the step translations (the f32 device LM cannot
     # pull scale through the frozen baseline the way the reference's f64
@@ -223,6 +242,15 @@ class LoopConfig:
     min_inliers: int = 40  # RANSAC inliers to accept a verified loop
     max_keypoints: int = 512  # ORB budget per keyframe (half-res image)
     max_loops: int = 4  # strongest verified loops applied per run
+    # Sim(3) correction: also spread the accumulated scale drift along
+    # the span (measured from reverse-direction shared structure when
+    # the loop has baseline; fitted to the positional gap for
+    # zero-baseline revisits). False = pure SE(3) spreading (r4).
+    sim3: bool = True
+    # Hard cap on stored half-res uint8 keyframe images; exceeded ->
+    # keyframe stride doubles (loopclose.KeyframeStore). Bounds the
+    # loop tee at ~budget * 0.12 MB for KITTI-sized frames.
+    keyframe_budget: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

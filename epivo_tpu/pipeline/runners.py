@@ -608,6 +608,28 @@ def _log_windows(mlog, anchors, out) -> None:
                   "n_accepted": int(nacc[w])})
 
 
+def _loop_stage(traj: np.ndarray, kf_store, config: BAConfig, seed: int,
+                mlog):
+    """Loop-closure post-stage (pipeline/loopclose.py): MXU keyframe
+    retrieval + ORB/RANSAC verification + Sim(3)/SE(3) drift spreading —
+    the long-trajectory drift lever the short-span stages cannot reach
+    (the reference has no loop closure at all). Shared by the mono and
+    stereo BA runners."""
+    from epivo_tpu.geometry import camera as cam_mod
+    from epivo_tpu.pipeline import loopclose
+
+    c = config.camera
+    half_cam = cam_mod.Pinhole(c.fx / 2, c.fy / 2, c.cx / 2, c.cy / 2,
+                               c.width // 2, c.height // 2)
+    vo_cfg_half = VOConfig(
+        camera=half_cam,
+        frontend=dataclasses.replace(
+            config.frontend, max_keypoints=config.loop.max_keypoints),
+        ransac=config.ransac, lm=config.lm)
+    return loopclose.close_loops(traj, kf_store, config, vo_cfg_half,
+                                 seed=seed, mlog=mlog)
+
+
 def run_stereo_ba_sequence(
     frames_left: Iterable[np.ndarray],
     frames_right: Iterable[np.ndarray],
@@ -656,11 +678,24 @@ def run_stereo_ba_sequence(
             n_frames = min(len(frames_left), len(frames_right))
     F = n_frames
 
+    kf_store = None
+    if config.loop.enabled:
+        from epivo_tpu.pipeline import loopclose
+
+        # Loop keyframes come from the LEFT stream, indexed by frame k
+        # (not the doubled index): the trajectory the loop stage corrects
+        # is the per-frame left-camera chain.
+        kf_store = loopclose.KeyframeStore(config.loop.keyframe_stride,
+                                           config.loop.keyframe_budget)
+
     def doubled_stream():
         for k, (l_img, r_img) in enumerate(zip(frames_left, frames_right)):
             if k >= F:
                 break
-            yield np.asarray(l_img, np.float32)
+            l_arr = np.asarray(l_img, np.float32)
+            if kf_store is not None:
+                kf_store.offer(k, l_arr)
+            yield l_arr
             yield np.asarray(r_img, np.float32)
 
     fs = stream.FrameStream(doubled_stream(), n_frames=2 * F)
@@ -920,11 +955,16 @@ def run_stereo_ba_sequence(
                       "s": float(s_post[k]), "refined": bool(ref_post[k]),
                       "hampel_replaced": bool(repl_post[k])})
 
-    mlog.close()
     zetas = zetas.astype(np.float32)
     traj = np.asarray(
         ba_mod.stereo_left_trajectory(jnp.asarray(zetas[: 2 * n_steps]))
     )
+
+    if config.loop.enabled and kf_store:
+        traj, loops_applied = _loop_stage(traj, kf_store, config, seed, mlog)
+    else:
+        loops_applied = []
+    mlog.close()
 
     ate = rpe_t = None
     gt_traj = None
@@ -945,6 +985,7 @@ def run_stereo_ba_sequence(
             "window_r_norm": np.asarray(out.r_norm),
             "window_reverted": np.asarray(out.reverted),
         },
+        loops=tuple(loops_applied),
     )
 
 
@@ -1230,16 +1271,19 @@ def run_ba_sequence(
 
         ckpt = ckpt_mod.SequenceCheckpointer(checkpoint_dir,
                                              every=checkpoint_every)
-    kf_store: dict[int, np.ndarray] = {}
+    kf_store = None
     if config.loop.enabled:
         from epivo_tpu.pipeline import loopclose
 
-        def _tee(src, stride=config.loop.keyframe_stride):
-            # Keyframe k AND its adjacent frame k+1 (the verification
-            # stage's norm-recovery pair; see loopclose module docstring).
+        # Keyframe k AND its adjacent frame k+1 (the verification
+        # stage's norm-recovery pair; see loopclose module docstring),
+        # uint8 half-res under a hard budget (ADVICE r4).
+        kf_store = loopclose.KeyframeStore(config.loop.keyframe_stride,
+                                           config.loop.keyframe_budget)
+
+        def _tee(src):
             for idx, f in enumerate(src):
-                if idx % stride == 0 or idx % stride == 1:
-                    kf_store[idx] = loopclose.keyframe_half(f)
+                kf_store.offer(idx, f)
                 yield f
 
         frames = _tee(frames)
@@ -1293,24 +1337,7 @@ def run_ba_sequence(
     traj = np.asarray(ba_mod.trajectory_from_zetas(jnp.asarray(zetas)))
 
     if config.loop.enabled and kf_store:
-        # Loop-closure post-stage (pipeline/loopclose.py): MXU keyframe
-        # retrieval + ORB/RANSAC verification + SE(3) drift spreading —
-        # the long-trajectory drift lever the short-span stages cannot
-        # reach (the reference has no loop closure at all).
-        from epivo_tpu.geometry import camera as cam_mod
-        from epivo_tpu.pipeline import loopclose
-
-        c = config.camera
-        half_cam = cam_mod.Pinhole(c.fx / 2, c.fy / 2, c.cx / 2, c.cy / 2,
-                                   c.width // 2, c.height // 2)
-        vo_cfg_half = VOConfig(
-            camera=half_cam,
-            frontend=dataclasses.replace(
-                config.frontend, max_keypoints=config.loop.max_keypoints),
-            ransac=config.ransac, lm=config.lm)
-        traj, loops_applied = loopclose.close_loops(traj, kf_store, config,
-                                                    vo_cfg_half, seed=seed,
-                                                    mlog=mlog)
+        traj, loops_applied = _loop_stage(traj, kf_store, config, seed, mlog)
     else:
         loops_applied = []
     mlog.close()

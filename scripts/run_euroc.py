@@ -39,6 +39,10 @@ def main():
                     help="shard the stereo window solve over an N-device "
                          "mesh (0 = single device)")
     ap.add_argument("--pipeline-depth", type=int, default=2)
+    ap.add_argument("--loop-close", action="store_true",
+                    help="enable loop closure (keyframe retrieval + "
+                         "ORB/RANSAC verification + Sim(3) spreading); "
+                         "EuRoC MH sequences contain real loops")
     args = ap.parse_args()
 
     if args.platform:
@@ -91,7 +95,37 @@ def main():
         ransac=RansacConfig(n_hyp=512, threshold_px=0.3),
         lm=LMConfig(n_points=48, revert_r_norm=1e-4),
     )
+    kf_store = None
+    if args.loop_close:
+        from epivo_tpu.pipeline import loopclose
+        from epivo_tpu.pipeline.config import LoopConfig
+
+        loop_cfg = LoopConfig(enabled=True)
+        kf_store = loopclose.KeyframeStore(loop_cfg.keyframe_stride,
+                                           loop_cfg.keyframe_budget)
+        for idx, f in enumerate(frames):
+            kf_store.offer(idx, f)
     res = runners.run_vo_sequence(frames, cfg, gt_poses=gt, batch=args.batch)
+    n_loops = 0
+    if kf_store:
+        from epivo_tpu.pipeline.config import BAConfig
+
+        ba_like = BAConfig(camera=cfg.camera, frontend=cfg.frontend,
+                           ransac=cfg.ransac, lm=cfg.lm, loop=loop_cfg)
+        traj2, loops = runners._loop_stage(res.trajectory, kf_store,
+                                           ba_like, seed=0, mlog=None)
+        n_loops = len(loops)
+        ate2 = rpe2 = None
+        if res.gt_trajectory is not None:
+            from epivo_tpu.eval import metrics as ev
+
+            n = min(len(res.gt_trajectory), traj2.shape[0])
+            ate2 = float(ev.ate_rmse(traj2[:n], res.gt_trajectory[:n],
+                                     align=True, with_scale=False))
+            rpe2 = float(ev.rpe(traj2[:n], res.gt_trajectory[:n])[0])
+        res = res._replace(trajectory=traj2, loops=tuple(loops),
+                           ate=ate2 if ate2 is not None else res.ate,
+                           rpe_t=rpe2 if rpe2 is not None else res.rpe_t)
 
     os.makedirs(args.out, exist_ok=True)
     export.write_poses(os.path.join(args.out, "euroc.T"), res.trajectory)
@@ -106,7 +140,8 @@ def main():
         {k: v for k, v in [("est", res.trajectory),
                            ("gt", res.gt_trajectory)] if v is not None},
     )
-    summary = {"frames": len(frames), "ate_m": res.ate, "rpe_t": res.rpe_t}
+    summary = {"frames": len(frames), "ate_m": res.ate, "rpe_t": res.rpe_t,
+               "loops_applied": n_loops}
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
@@ -145,11 +180,17 @@ def run_stereo(args, seq):
     L = (l for _, l, _ in t1)
     R = (r for _, _, r in t2)
 
+    loop_kw = {}
+    if args.loop_close:
+        from epivo_tpu.pipeline.config import LoopConfig
+
+        loop_kw["loop"] = LoopConfig(enabled=True)
     cfg = BAConfig(
         camera=cam,
         frontend=FrontendConfig(fast_threshold=20.0, max_keypoints=1024),
         ransac=RansacConfig(n_hyp=512, threshold_px=0.3),
         lm=LMConfig(n_points=32, revert_r_norm=1e-2),
+        **loop_kw,
     )
     mesh = None
     if args.devices:
@@ -168,6 +209,7 @@ def run_stereo(args, seq):
     # GT (evaluation only): cam0 poses mapped into the rectified frame.
     summary = {"mode": "stereo", "frames": len(ts),
                "baseline_m": float(-T_rig[0, 3]),
+               "loops_applied": len(res.loops),
                "windows_reverted": int(res.per_frame["window_reverted"].sum()),
                "config": {"batch": args.batch,
                           "pipeline_depth": args.pipeline_depth,
