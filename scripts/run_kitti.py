@@ -38,8 +38,9 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=256)
     ap.add_argument("--metrics", action="store_true")
     ap.add_argument("--devices", type=int, default=0,
-                    help="shard the BA window solve over an N-device mesh "
-                         "(0 = single device); ba/stereo modes")
+                    help="shard the frontend (pair extraction) AND the BA "
+                         "window solve over an N-device mesh (0 = single "
+                         "device); all modes")
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="dispatch batches in flight before fetching")
     ap.add_argument("--global-ba", action="store_true",
@@ -111,12 +112,9 @@ def main():
     if args.mode == "vo":
         cfg = VOConfig(camera=cam, frontend=fe, ransac=rc,
                        lm=LMConfig(n_points=48, revert_r_norm=1e-4))
-        if mesh is not None:
-            print("note: --devices applies to the ba/stereo window solve; "
-                  "vo mode runs single-device")
         res = runners.run_vo_sequence(
             frames, cfg, gt_poses=gt, batch=args.batch,
-            pipeline_depth=args.pipeline_depth,
+            pipeline_depth=args.pipeline_depth, mesh=mesh,
             checkpoint_dir=os.path.join(out_dir, "ckpt"),
             checkpoint_every=args.checkpoint_every,
             metrics_path=os.path.join(out_dir, "metrics.jsonl")
