@@ -194,13 +194,24 @@ class ScaleConfig:
     # Huber width for the per-edge M-estimate, in SIGMA-NORMALIZED
     # residual units (each measurement carries its own estimated std).
     graph_huber: float = 2.0
-    # Constant-speed prior: each edge's log-ratio is pulled toward 0
-    # with weight 1/graph_prior_sigma^2 — i.e. the prior behaves like
-    # one extra measurement of 0 with this std (log units). Weak enough
-    # that a well-measured boundary (sigma ~0.07) barely feels it;
-    # strong enough to hold the scale through boundaries where every
-    # measurement family degrades together (low parallax).
-    graph_prior_sigma: float = 0.3
+    # Constant-speed prior: each consecutive log-scale difference is
+    # pulled toward 0 with weight 1/graph_prior_sigma^2 (the prior acts
+    # like one extra measurement of 0 with this std, log units). Weak
+    # enough that a well-measured boundary (sigma ~0.07) barely feels
+    # it; strong enough to hold the scale through stretches where every
+    # measurement family degrades together (low parallax). 0.10 swept
+    # on the 300-frame corridor across 3 extraction seeds
+    # (scripts/diag_scalegraph.py): scale-only ATE 1.8/2.6/2.4% with
+    # length ratios 0.95/1.01/1.05 — vs the r4 chain's 4.3/7.6/9.7%
+    # and worst-case 88x length blow-up.
+    graph_prior_sigma: float = 0.10
+    # Redescending stage: after Huber convergence, measurements whose
+    # absolute LOG residual from the solution exceeds this are cut
+    # outright (weight 0) and the solve re-converges — full rejection of
+    # catastrophic rows (a wrong two-view pose is >=1.5 off in log,
+    # i.e. a physically implausible per-frame speed jump) while honest
+    # low-parallax noise (<=~0.5) keeps its Huber weight.
+    graph_cut: float = 0.8
     # Re-estimate with the LM-refined step poses after the window solve and
     # impose the result on the step translations (the f32 device LM cannot
     # pull scale through the frozen baseline the way the reference's f64

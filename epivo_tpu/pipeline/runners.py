@@ -1213,13 +1213,20 @@ def prepare_mono_windows(
     need = {(a + int(p0), a + int(p1)) for a in anchors
             for p0, p1 in spec.frame_pairs if a + int(p1) < F}
     if gt_poses is None:
-        # No-GT scale chaining needs BACKWARD pairs at every interior
+        # No-GT scale recovery needs BACKWARD pairs at every interior
         # frame b: keypoints of frame b tracked to b-1, giving the same
         # landmarks as the forward pair (b, b+1) under the previous zeta's
         # pose (see ba.boundary_scale_ratio). Used both to initialize the
         # relative zeta scales pre-LM and to chain window gauges post-LM.
         last = anchors[-1] + ws - 1
         need |= {(b, b - 1) for b in range(1, min(F - 1, last))}
+        if config.scale.graph:
+            # Scale GRAPH (scale.scale_graph_solve): skip pairs at EVERY
+            # frame and backward-skip pairs give the skip_boundary
+            # measurements that bridge single corrupted boundaries
+            # (~60% more pairs; VERDICT r4 next #1).
+            need |= {(a, a + 2) for a in range(F - 2)}
+            need |= {(b, b - 2) for b in range(2, F)}
     pairs = sorted(need)
     pair_data = _extract_pairs(fs, pairs, vo_cfg, seed,
                                n_points=config.lm.n_points, ckpt=ckpt,
@@ -1235,7 +1242,28 @@ def prepare_mono_windows(
     n_zeta_total = F - 1
     c_scale = np.ones(n_zeta_total, np.float32)
     if gt_poses is None:
-        c_scale = _chained_scales(pair_data, n_zeta_total, config.scale)
+        if config.scale.graph:
+            # Joint Huber-robust solve over the whole measurement graph
+            # (boundary + boundary_own + skip_boundary rows): a corrupted
+            # boundary is down-weighted, out-voted, and bridged instead
+            # of inherited by every scale after it — the failure mode
+            # that produced the r4 88x length blow-up (VERDICT r4
+            # weak #1 / next #1). Falls back to the sequential chain
+            # when the graph has no measurements (degenerate fixtures).
+            meas = scale_mod.scale_graph_measurements(
+                pair_data, n_zeta_total, config.scale)
+            if meas:
+                c_scale = scale_mod.scale_graph_solve(
+                    meas, n_zeta_total, config.scale)
+                if mlog is not None:
+                    mlog.log({"stage": "scale_graph",
+                              "n_measurements": len(meas),
+                              "n_boundaries": n_zeta_total - 1})
+            else:
+                c_scale = _chained_scales(pair_data, n_zeta_total,
+                                          config.scale)
+        else:
+            c_scale = _chained_scales(pair_data, n_zeta_total, config.scale)
 
     # Assemble window tensors.
     W = len(anchors)

@@ -151,10 +151,13 @@ def test_run_ba_sequence_no_gt_preserves_scale_ratios():
 
     The fixture's speed profile alternates by up to 2.5x BETWEEN
     CONSECUTIVE FRAMES — deliberately unphysical stress for the ratio
-    mechanism, so the temporal consistency gate (ScaleConfig.chain_hampel_*,
-    which by design treats isolated >1.5x jumps against the local median
-    as measurement catastrophes) is disabled here; its own behavior is
-    covered in test_scale.py."""
+    mechanism, so the two defaults that by design treat isolated >1.5x
+    speed jumps as measurement catastrophes are adapted here, exactly as
+    a deployment with genuinely aggressive per-frame dynamics would:
+    the Hampel gate is disabled and the scale-graph's constant-speed
+    prior is weakened (graph_prior_sigma 0.10 -> 0.5; the config
+    documents this as the aggressive-dynamics knob). Their default
+    behaviors are covered in test_scale.py."""
     from epivo_tpu.pipeline.config import ScaleConfig
 
     frames, _, mags = make_varying_sequence(F=7)
@@ -163,7 +166,8 @@ def test_run_ba_sequence_no_gt_preserves_scale_ratios():
         frontend=VO_CFG.frontend,
         ransac=VO_CFG.ransac,
         lm=LMConfig(n_points=32, revert_r_norm=1e-2),
-        scale=ScaleConfig(chain_hampel_ratio=0.0),
+        scale=ScaleConfig(chain_hampel_ratio=0.0, graph_prior_sigma=0.5,
+                          graph_cut=2.0),
     )
     res = runners.run_ba_sequence(frames, cfg, gt_poses=None)
     traj = res.trajectory

@@ -177,7 +177,7 @@ def _chain_pair_data(steps, depths_z, n_pts=160, seed=3, T_noise=None):
 
     pd = {}
     for i in range(F):
-        for j in (i - 1, i + 1):
+        for j in (i - 2, i - 1, i + 1, i + 2):
             if not (0 <= j < F):
                 continue
             t = np.array([0.0, 0.0, -(C[j] - C[i])])
@@ -256,3 +256,48 @@ def test_chain_flow_gate_cuts_common_mode_pose_bias():
     err_off = np.abs(np.log(_chained_scales(pd, len(steps), sc_off))).max()
     err_on = np.abs(np.log(_chained_scales(pd, len(steps), sc_on))).max()
     assert err_on < 0.6 * err_off
+
+
+def test_scale_graph_recovers_step_ratios():
+    """Joint graph solve (boundary + boundary_own + skip_boundary rows)
+    recovers varying per-step scales; the weak constant-speed prior
+    shrinks each log-ratio by a few percent at most."""
+    from epivo_tpu.pipeline import scale as scale_mod
+    from epivo_tpu.pipeline.config import ScaleConfig
+
+    steps = np.array([1.0, 1.15, 0.9, 1.05, 0.95, 1.1, 1.0])
+    pd = _chain_pair_data(steps, [10, 20, 35])
+    sc = ScaleConfig()
+    meas = scale_mod.scale_graph_measurements(pd, len(steps), sc)
+    kinds = {m.kind for m in meas}
+    assert {"boundary", "boundary_own", "skip_boundary"} <= kinds
+    c = scale_mod.scale_graph_solve(meas, len(steps), sc)
+    np.testing.assert_allclose(c, steps / steps[0], rtol=6e-2)
+
+
+def test_scale_graph_rejects_catastrophic_boundary_without_hampel():
+    """The r4 failure mode (one wrong two-view pose permanently rescales
+    the chain tail — the 88x length blow-up): the joint solve's
+    redescending stage rejects the corrupted boundary outright, with the
+    Hampel net switched OFF — robustness lives in the solve itself, not
+    the post-filter (VERDICT r4 next #1)."""
+    import dataclasses
+
+    from epivo_tpu.pipeline import scale as scale_mod
+    from epivo_tpu.pipeline.config import ScaleConfig
+    from epivo_tpu.pipeline.runners import _chained_scales
+
+    steps = np.array([1.0] * 9)
+    pd = _chain_pair_data(steps, [10, 20, 35])
+    steps_bad = steps.copy()
+    steps_bad[2] = 5.0
+    pd[(3, 2)] = _chain_pair_data(steps_bad, [10, 20, 35])[(3, 2)]
+    sc = dataclasses.replace(ScaleConfig(), chain_hampel_ratio=0.0,
+                             chain_flow_topfrac=0.0)
+    # The sequential chain inherits the corrupted boundary forever.
+    c_chain = _chained_scales(pd, len(steps), sc)
+    assert abs(np.log(c_chain[-1])) > 0.3
+    # The graph solve rejects it: constant speed recovered everywhere.
+    meas = scale_mod.scale_graph_measurements(pd, len(steps), sc)
+    c = scale_mod.scale_graph_solve(meas, len(steps), sc)
+    np.testing.assert_allclose(c, np.ones(len(steps)), rtol=2e-2)
