@@ -255,6 +255,7 @@ def loop_trajectory(
     speed: float = 0.6,
     turn_speed: float = 0.15,
     lateral: float = 4.8,
+    close_offset: float = 0.0,
 ):
     """Out-and-back loop course inside the corridor: straight out, slow
     180-degree arc (radius ~ turn_speed * n_turn / pi, bounded by the
@@ -263,15 +264,26 @@ def loop_trajectory(
     the ORIGINAL heading — the final frames see the same view as the
     first ones, which is what loop-closure detection needs.
 
+    ``close_offset`` laterally offsets the closing straight from the
+    outbound lane (by tightening the second arc): the revisit then
+    passes ``close_offset`` metres from the original keyframes — a
+    NONZERO-baseline loop that exercises the scaled-translation branch
+    of ``loopclose.verify_loop`` (depth-ratio norm recovery) instead of
+    the zero-baseline coincidence branch.
+
     Returns gt [F, 4, 4] camera-to-world poses (+z forward, yaw about +y,
     same composition convention as :func:`corridor_sequence`).
     """
     d_yaw = np.pi / n_turn
+    # A 180-degree arc displaces the lane by 2R = 2 * v * n / pi; trim
+    # the second arc's speed so the closing lane lands close_offset off
+    # the outbound lane.
+    turn_speed2 = max(0.02, turn_speed - close_offset * np.pi / (2 * n_turn))
     phases = (
         [(0.0, speed)] * n_out
         + [(d_yaw, turn_speed)] * n_turn
         + [(0.0, speed)] * n_back
-        + [(d_yaw, turn_speed)] * n_turn
+        + [(d_yaw, turn_speed2)] * n_turn
         + [(0.0, speed)] * n_close
     )
     # Smooth the speed transitions (vehicles decelerate over several
@@ -295,10 +307,12 @@ def loop_trajectory(
         T = T @ step
     gt = np.stack(gt)
     # Keep the course inside the corridor (|x| < wall_x): the arc's
-    # lateral displacement is 2 * radius; rescale x if needed.
+    # lateral displacement is 2 * radius; rescale x if needed (only when
+    # no deliberate closing offset is requested — rescaling would
+    # distort it).
     x = gt[:, 0, 3]
     span = x.max() - x.min()
-    if span > lateral:
+    if span > lateral and close_offset == 0.0:
         gt[:, 0, 3] *= lateral / span
     return gt
 

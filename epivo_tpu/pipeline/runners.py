@@ -667,8 +667,14 @@ def _loop_stage(traj: np.ndarray, kf_store, config: BAConfig, seed: int,
                                c.width // 2, c.height // 2)
     vo_cfg_half = VOConfig(
         camera=half_cam,
+        # Pyramid ORB: a revisit at a lateral offset sees the scene at a
+        # different scale, and single-scale descriptors die of it
+        # (measured on the offset loop course: 0-5 inliers single-scale
+        # vs 27-54 with the pyramid, which also recovers the loop
+        # translation direction exactly).
         frontend=dataclasses.replace(
-            config.frontend, max_keypoints=config.loop.max_keypoints),
+            config.frontend, max_keypoints=config.loop.max_keypoints,
+            orb_pyramid=True),
         ransac=config.ransac, lm=config.lm)
     return loopclose.close_loops(traj, kf_store, config, vo_cfg_half,
                                  seed=seed, mlog=mlog)

@@ -210,3 +210,70 @@ def test_kitti_cli_ba_with_loop_close(tmp_path, monkeypatch):
     ])
     mod.main()
     assert os.path.exists(os.path.join(out, "kitti.T"))
+
+
+@pytest.mark.slow
+def test_verify_loop_nonzero_baseline_recovers_norm():
+    """The scaled-translation branch of verify_loop on imagery: an
+    offset-revisit loop (close_offset course) has genuine baseline, so
+    the depth-ratio norm recovery must fire (not the t=0 coincidence
+    branch) and produce |t_loop| near the true offset (VERDICT r4
+    next #6). Also checks the Sim(3) scale-drift measurement reads ~1 on
+    drift-free imagery."""
+    import jax
+
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.geometry import camera as cam_mod
+    from epivo_tpu.pipeline.config import (
+        FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+
+    H, W = 188, 620
+    K = np.array([[359.4, 0, W / 2.0], [0, 359.4, H / 2.0], [0, 0, 1.0]])
+    gt = photoreal.loop_trajectory(close_offset=1.8)
+    F = len(gt)
+    j = F - 6
+    # Nearest outbound pose to the revisit.
+    d = np.linalg.norm(gt[:40, :3, 3] - gt[j, :3, 3], axis=-1)
+    i = int(np.argmin(d))
+    T_loop_gt = np.linalg.inv(gt[j]) @ gt[i]  # X_i -> X_j (vo convention)
+    base_gt = float(np.linalg.norm(T_loop_gt[:3, 3]))
+    assert 1.2 < base_gt < 2.4, base_gt  # the fixture's planted baseline
+
+    scene = photoreal.CorridorScene()
+    tex = scene.textures()
+    rng = np.random.default_rng(7)
+
+    def frame(k):
+        return photoreal.render_frame(scene, tex, K, gt[k], H, W,
+                                      noise_sigma=1.0, rng=rng)
+
+    half = {k: loopclose.keyframe_half(frame(k)).astype(np.float32)
+            for k in (i, i + 1, j, j + 1)}
+    cam = cam_mod.Pinhole(359.4 / 2, 359.4 / 2, W / 4.0, H / 4.0,
+                          W // 2, H // 2)
+    vo_half = VOConfig(camera=cam,
+                       frontend=FrontendConfig(fast_threshold=25.0,
+                                               max_keypoints=1024,
+                                               orb_pyramid=True),
+                       ransac=RansacConfig(n_hyp=512),
+                       lm=LMConfig(n_points=32))
+    t_next = np.linalg.inv(gt[i]) @ gt[i + 1]
+    t_next_norm = float(np.linalg.norm(t_next[:3, 3]))
+    res = loopclose.verify_loop(half[i], half[j], half[i + 1], t_next_norm,
+                                vo_half, jax.random.PRNGKey(3),
+                                pred_t_norm=base_gt, kf_spacing=1.0)
+    assert res is not None
+    assert not res.zero_baseline
+    norm = float(np.linalg.norm(res.T_meas[:3, 3]))
+    assert abs(norm - base_gt) / base_gt < 0.3, (norm, base_gt)
+
+    # Drift-free imagery: the reverse-direction scale-drift measurement
+    # must read ~1.
+    t_next_j = np.linalg.inv(gt[j]) @ gt[j + 1]
+    sigma = loopclose.measure_scale_drift(
+        half[j], half[i], half[j + 1],
+        float(np.linalg.norm(t_next_j[:3, 3])), norm,
+        vo_half, jax.random.PRNGKey(4))
+    assert sigma is not None
+    assert 0.75 < sigma < 1.33, sigma
