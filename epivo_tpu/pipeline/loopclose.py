@@ -416,6 +416,87 @@ def spread_drift(traj: np.ndarray, i: int, j: int, T_meas: np.ndarray,
     return out
 
 
+def relocalize(traj: np.ndarray, keyframes, config, vo_cfg_half: VOConfig,
+               collapse_idx: int, seed: int = 0,
+               mlog=None) -> tuple[np.ndarray, Loop | None]:
+    """Kidnapped-robot re-entry: re-anchor the chain after a tracking
+    collapse (a capability absent in the reference AND in rounds 1-4;
+    PARITY known gaps).
+
+    After a collapse at ``collapse_idx`` the post-collapse segment is
+    internally consistent but its anchor pose is garbage. The FIRST
+    post-collapse keyframe is retrieved against all PRE-collapse
+    keyframes (same MXU Hamming scoring as loop closure), the best
+    candidate is geometrically verified (ORB/RANSAC + monocular norm
+    recovery through the adjacent frame), and the whole post-collapse
+    segment is rigidly re-anchored so that
+    inv(traj'_i) @ traj'_j == inv(T_meas). Unlike ``close_loops`` no
+    drift is spread — the pre-collapse chain is trusted as-is — and the
+    t=0 branch's trajectory-prediction bound is NOT applied (after a
+    collapse the predicted relative pose is meaningless).
+
+    keyframes: KeyframeStore or {idx: half-res image} covering both
+    sides of the collapse. Returns (trajectory, applied Loop or None —
+    None means no verifiable re-entry view exists (yet)).
+    """
+    import jax.numpy as jnp
+
+    from epivo_tpu.frontend.orb import PATCH
+
+    lcfg: LoopConfig = config.loop
+    if isinstance(keyframes, KeyframeStore):
+        stride = keyframes.stride
+        keyframes = keyframes.as_dict()
+    else:
+        stride = lcfg.keyframe_stride
+        keyframes = {k: np.asarray(v, np.float32)
+                     for k, v in keyframes.items()}
+    kf_idx = [k for k in sorted(keyframes)
+              if k % stride == 0 and k + 1 in keyframes]
+    pre = [k for k in kf_idx if k + 1 < collapse_idx]
+    post = [k for k in kf_idx if k > collapse_idx and k + 1 < len(traj)]
+    if not pre or not post:
+        return traj, None
+    if min(keyframes[kf_idx[0]].shape) < 2 * PATCH:
+        return traj, None
+    # One retrieval pass: every post-collapse keyframe scored against
+    # every pre-collapse keyframe. The robot may not re-enter known
+    # territory immediately (e.g. it is mid-turn), so successive post
+    # keyframes are tried in order until one verifies.
+    imgs = jnp.asarray(np.stack([keyframes[k] for k in pre + post]))
+    signs, valid = _describe_batch(imgs, lcfg,
+                                   vo_cfg_half.frontend.fast_threshold)
+    scores = np.asarray(retrieval_scores(signs, valid, lcfg.max_dist))
+    key = jax.random.PRNGKey(seed + 3333)
+    traj = np.asarray(traj, np.float64)
+    for jp, j in enumerate(post):
+        row = scores[len(pre) + jp][: len(pre)]
+        order = np.argsort(-row)
+        for kp_ in order[:3]:  # top candidates by retrieval score
+            if row[kp_] < lcfg.min_matches:
+                break
+            i = pre[int(kp_)]
+            t_next = np.linalg.inv(traj[i]) @ traj[i + 1]
+            key, kv = jax.random.split(key)
+            res = verify_loop(keyframes[i], keyframes[j], keyframes[i + 1],
+                              float(np.linalg.norm(t_next[:3, 3])),
+                              vo_cfg_half, kv)
+            if res is None or res.n_inliers < lcfg.min_inliers:
+                continue
+            # Rigid re-anchor of the post-collapse segment at pose j.
+            T_j_new = traj[i] @ np.linalg.inv(res.T_meas)
+            fix = T_j_new @ np.linalg.inv(traj[j])
+            out = traj.copy()
+            out[j:] = fix[None] @ traj[j:]
+            lp = Loop(i, j, res.T_meas, res.n_inliers, int(row[kp_]))
+            if mlog is not None:
+                mlog.log({"stage": "relocalize", "i": i, "j": j,
+                          "inliers": res.n_inliers, "score": int(row[kp_]),
+                          "zero_baseline": bool(res.zero_baseline)})
+            return out.astype(np.float32), lp
+    return traj.astype(np.float32), None
+
+
 def close_loops(traj: np.ndarray, keyframes, config,
                 vo_cfg_half: VOConfig, seed: int = 0,
                 mlog=None) -> tuple[np.ndarray, list[Loop]]:

@@ -1,9 +1,16 @@
 """LOOP_CLOSE.json: end-to-end loop-closure evidence on the real chip.
 
 Runs the full no-GT windowed-BA pipeline (`runners.run_ba_sequence`) on
-the photoreal out-and-back loop course twice — loop closure off and on —
-and records ATE + the applied loops. No ground truth enters estimation;
-GT is used only for evaluation.
+two photoreal loop courses, loop closure off and on, and records ATE,
+length ratio, and the applied loops (with their Sim(3) scale-drift
+factors). No ground truth enters estimation; GT is used only for
+evaluation.
+
+Courses:
+- out-and-back (zero-baseline revisit: the t=0 coincidence branch +
+  1-D scale-ramp fit)
+- offset revisit (close_offset=1.8 m: the scaled-translation branch +
+  reverse-direction scale-drift measurement)
 
 Usage: python scripts/run_photoreal_loop.py [--cpu] [--half]
 """
@@ -51,8 +58,9 @@ def main():
     K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
     cam = cam_mod.Pinhole(f, f, W / 2.0, H / 2.0, W, H)
 
-    def run(loop_on: bool):
-        frames, gt, _ = photoreal.loop_sequence(H=H, W=W, K=K)
+    def run(loop_on: bool, close_offset: float = 0.0):
+        frames, gt, _ = photoreal.loop_sequence(H=H, W=W, K=K,
+                                                close_offset=close_offset)
         F = len(gt)
         cfg = BAConfig(
             camera=cam,
@@ -79,14 +87,18 @@ def main():
         end_gap = float(np.linalg.norm(
             traj[-1, :3, 3] * g0 - gt_aln[-1, :3, 3]))
         length = float(gt_step.sum())
+        n = min(len(est_step), len(gt_step))
         return {
             "ate_sim3_rmse_m": round(float(ate_sim3), 4),
             "ate_sim3_pct_of_length": round(100 * float(ate_sim3) / length, 3),
             "ate_se3_rmse_m": round(float(ate_se3), 4),
             "endpoint_gap_gauge0_m": round(end_gap, 4),
+            "length_ratio_gauge0": round(
+                float(est_step[:n].sum() * g0 / gt_step[:n].sum()), 4),
             "loops_applied": [
                 {"i": int(lp.i), "j": int(lp.j), "inliers": int(lp.n_inliers),
-                 "retrieval_score": int(lp.score)}
+                 "retrieval_score": int(lp.score),
+                 "sigma": round(float(lp.sigma), 4)}
                 for lp in res.loops
             ],
             "wall_s": round(wall, 1),
@@ -94,19 +106,26 @@ def main():
 
     off, length, F = run(False)
     on, _, _ = run(True)
+    off_ob, length_ob, F_ob = run(False, close_offset=1.8)
+    on_ob, _, _ = run(True, close_offset=1.8)
 
     out = {
-        "fixture": "photoreal out-and-back loop course (loop_sequence)",
+        "fixture": "photoreal loop courses (loop_sequence): out-and-back "
+                   "(zero-baseline revisit) + offset revisit "
+                   "(close_offset=1.8, nonzero baseline)",
         "frames": F,
         "image": [H, W],
         "trajectory_length_m": round(length, 2),
+        "offset_trajectory_length_m": round(length_ob, 2),
         "platform": __import__("jax").devices()[0].platform,
         "config": {"batch": args.batch, "pipeline_depth": 2,
                    "fast_threshold": 30.0, "max_keypoints": 512,
-                   "n_hyp": 512, "keyframe_stride": 8,
+                   "n_hyp": 512, "keyframe_stride": 8, "sim3": True,
                    "wall_includes_render": True},
         "no_gt_loop_off": off,
         "no_gt_loop_on": on,
+        "offset_no_gt_loop_off": off_ob,
+        "offset_no_gt_loop_on": on_ob,
     }
     with open(os.path.join(REPO, "LOOP_CLOSE.json"), "w") as fjs:
         json.dump(out, fjs, indent=1)

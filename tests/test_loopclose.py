@@ -277,3 +277,63 @@ def test_verify_loop_nonzero_baseline_recovers_norm():
         vo_half, jax.random.PRNGKey(4))
     assert sigma is not None
     assert 0.75 < sigma < 1.33, sigma
+
+
+@pytest.mark.slow
+def test_relocalize_reanchors_after_collapse():
+    """Kidnapped-robot re-entry: the post-collapse segment carries a
+    garbage anchor; relocalize() retrieves the first post-collapse
+    keyframe against pre-collapse keyframes, verifies it, and rigidly
+    re-anchors the tail near the truth."""
+    import jax  # noqa: F401
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.geometry import camera as cam_mod
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+
+    H, W = 188, 620
+    K = np.array([[359.4, 0, W / 2.0], [0, 359.4, H / 2.0], [0, 0, 1.0]])
+    frames, gt, _ = photoreal.loop_sequence(H=H, W=W, K=K, noise_sigma=1.0)
+    stride = 8
+    kf = {}
+    for idx, f in enumerate(frames):
+        if idx % stride in (0, 1):
+            kf[idx] = loopclose.keyframe_half(f)
+
+    # Collapse during the second arc: the tail (closing straight, which
+    # revisits the start) is internally consistent but anchored wrong.
+    F = len(gt)
+    c = F - 30
+    est = gt.copy().astype(np.float64)
+    wrong = np.eye(4)
+    wrong[:3, 3] = [6.0, 0.5, -9.0]  # teleported anchor
+    est[c:] = wrong[None] @ gt[c:]
+
+    cfg = BAConfig(
+        camera=cam_mod.Pinhole(359.4, 359.4, W / 2.0, H / 2.0, W, H),
+        frontend=FrontendConfig(fast_threshold=25.0, max_keypoints=512),
+        ransac=RansacConfig(n_hyp=512),
+        lm=LMConfig(n_points=32),
+        loop=LoopConfig(enabled=True, min_gap=0, min_matches=30,
+                        min_inliers=25),
+    )
+    cc = cfg.camera
+    half_cam = cam_mod.Pinhole(cc.fx / 2, cc.fy / 2, cc.cx / 2, cc.cy / 2,
+                               cc.width // 2, cc.height // 2)
+    import dataclasses as _dc
+
+    vo_half = VOConfig(camera=half_cam,
+                       frontend=_dc.replace(cfg.frontend, orb_pyramid=True),
+                       ransac=cfg.ransac, lm=cfg.lm)
+    pre_err = np.linalg.norm(est[-1, :3, 3] - gt[-1, :3, 3])
+    traj2, lp = loopclose.relocalize(est, kf, cfg, vo_half, collapse_idx=c,
+                                     seed=0)
+    assert lp is not None, "no verified re-entry found"
+    assert lp.j > c and lp.i + 1 < c
+    post_err = np.linalg.norm(
+        np.asarray(traj2)[-1, :3, 3] - gt[-1, :3, 3])
+    assert pre_err > 5.0
+    assert post_err < 0.3 * pre_err, (pre_err, post_err)
+    # Pre-collapse prefix untouched.
+    np.testing.assert_allclose(np.asarray(traj2)[:c], gt[:c], atol=1e-5)
