@@ -328,13 +328,20 @@ def _extract_step(vo_cfg: VOConfig, use_orb: bool, mesh=None):
     SAME vmapped step; only the shardings differ, so 1-vs-N outputs are
     tolerance-equal (test_runner_mesh.py)."""
     step_one = vo.vo_step_orb if use_orb else vo.vo_step
+    # With a 'hyp' mesh axis > 1, RANSAC's hypothesis work inside each
+    # pair's step is additionally sharding-constrained over it — the
+    # accuracy-critical n_hyp knob scales across devices (2D mesh:
+    # pairs x hypotheses).
+    hyp_mesh = (mesh if mesh is not None and mesh.shape.get("hyp", 1) > 1
+                else None)
 
     def step(a, b, k):
         """Consolidated outputs: 5 buffers per batch instead of 7+ (each
         host fetch is a device round trip), and the coordinate
         normalization runs inside the program — an eager einsum per batch
         here costs seconds through a remote-compile relay."""
-        res = jax.vmap(lambda a1, b1, k1: step_one(a1, b1, k1, vo_cfg))(
+        res = jax.vmap(lambda a1, b1, k1: step_one(a1, b1, k1, vo_cfg,
+                                                   hyp_mesh))(
             a.astype(jnp.float32), b.astype(jnp.float32), k)
         K_inv_d = vo_cfg.camera.K_inv(jnp.float32)
         p0 = vo.cam.normalize(res.matches_src, K_inv_d)

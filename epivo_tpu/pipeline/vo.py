@@ -59,9 +59,15 @@ def _select_top(mask: jnp.ndarray, k: int):
     return idx, mask[idx]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOStepResult:
-    """One two-view VO step. img0/img1: [H, W] float grayscale."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig,
+            hyp_mesh=None) -> VOStepResult:
+    """One two-view VO step. img0/img1: [H, W] float grayscale.
+
+    ``hyp_mesh``: optional (hashable) mesh with a 'hyp' axis — RANSAC's
+    hypothesis work is sharding-constrained over it so a multi-device
+    jit distributes the accuracy-critical n_hyp knob (see
+    ransac_essential)."""
     fc, rc, lc = config.frontend, config.ransac, config.lm
     K_inv = config.camera.K_inv(img0.dtype)
 
@@ -78,7 +84,7 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
         key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=flow.status,
-        method=rc.method, solver=rc.solver,
+        method=rc.method, solver=rc.solver, hyp_mesh=hyp_mesh,
     )
     E = rres.E
     if rc.refine_e:
@@ -134,9 +140,9 @@ def vo_step(img0: jnp.ndarray, img1: jnp.ndarray, key, config: VOConfig) -> VOSt
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
-                config: VOConfig) -> VOStepResult:
+                config: VOConfig, hyp_mesh=None) -> VOStepResult:
     """Two-view VO with ORB descriptor matching instead of KLT tracking.
 
     The reference's `really_robust_ass` path (`kitti_ba.cpp:584-754`):
@@ -180,7 +186,7 @@ def vo_step_orb(img0: jnp.ndarray, img1: jnp.ndarray, key,
     thr = (rc.threshold_px / config.camera.fx) ** 2
     rres = ransac_mod.ransac_essential(
         key, p0, p1, n_hyp=rc.hypotheses(), threshold=thr, mask=status,
-        method=rc.method, solver=rc.solver,
+        method=rc.method, solver=rc.solver, hyp_mesh=hyp_mesh,
     )
     E = rres.E
     if rc.refine_e:

@@ -68,6 +68,7 @@ def ransac_essential(
     method: str = "ransac",
     refit: bool = True,
     solver: str = "8pt",
+    hyp_mesh=None,
 ) -> RansacResult:
     """Robust essential-matrix estimation over batched hypotheses.
 
@@ -85,6 +86,13 @@ def ransac_essential(
         5-point sample yields up to 10 candidate E, all scored; needs only
         5 inliers per sample, which wins at high outlier ratios; the
         reference's OpenCV path, `kitti_E.cpp:98-104`).
+      hyp_mesh: optional `jax.sharding.Mesh` with a 'hyp' axis — the
+        hypothesis axis (minimal solves + Sampson scoring, the dominant
+        H x N work) is then sharding-constrained over it, so a jit
+        compiled against that mesh distributes hypotheses across devices
+        and XLA reduces the argmax with one collective (the pod-scale
+        RANSAC of `parallel.dist`, reachable from INSIDE the jitted VO
+        step). None = no constraint (single device).
 
     Returns: :class:`RansacResult`.
     """
@@ -111,7 +119,16 @@ def ransac_essential(
         Es = essential.eight_point(p_s, p_ts, project=True)  # [n_hyp, 3, 3]
         hyp_ok = jnp.ones((n_hyp,), bool)
 
+    if hyp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        Es = jax.lax.with_sharding_constraint(
+            Es, NamedSharding(hyp_mesh, _P("hyp", None, None)))
+
     err = essential.sampson_error(Es, p[None], p_t[None])  # [H, N]
+    if hyp_mesh is not None:
+        err = jax.lax.with_sharding_constraint(
+            err, NamedSharding(hyp_mesh, _P("hyp", None)))
     err = jnp.where(valid[None, :] & hyp_ok[:, None], err, jnp.inf)
 
     if method == "lmeds":

@@ -41,6 +41,10 @@ def main():
                     help="shard the frontend (pair extraction) AND the BA "
                          "window solve over an N-device mesh (0 = single "
                          "device); all modes")
+    ap.add_argument("--hyp-devices", type=int, default=1,
+                    help="factor the mesh as (win=devices/N, hyp=N): "
+                         "RANSAC hypotheses inside each VO step shard "
+                         "over the 'hyp' axis (use with large --n-hyp)")
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="dispatch batches in flight before fetching")
     ap.add_argument("--global-ba", action="store_true",
@@ -81,7 +85,12 @@ def main():
                   "--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)",
                   file=sys.stderr)
             sys.exit(2)
-        mesh = mesh_mod.make_mesh(n_win=args.devices, n_hyp=1,
+        if args.devices % args.hyp_devices:
+            print(f"ERROR: --devices {args.devices} not divisible by "
+                  f"--hyp-devices {args.hyp_devices}", file=sys.stderr)
+            sys.exit(2)
+        mesh = mesh_mod.make_mesh(n_win=args.devices // args.hyp_devices,
+                                  n_hyp=args.hyp_devices,
                                   devices=jax.devices()[: args.devices])
 
     seq = kitti.KittiSequence(root=args.root, seq=args.seq)

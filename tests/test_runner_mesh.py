@@ -129,3 +129,31 @@ def test_stereo_ba_mesh_equals_single():
     res8 = runners.run_stereo_ba_sequence(iter(Ls), iter(Rs), cfg,
                                           T_rig=T_rig, n_frames=F, mesh=m)
     np.testing.assert_allclose(res8.trajectory, res1.trajectory, atol=2e-2)
+
+
+def test_extract_pairs_hyp_sharded_mesh():
+    """2D mesh (win=4, hyp=2): pairs shard over 'win' AND each pair's
+    RANSAC hypothesis axis is sharding-constrained over 'hyp' (the
+    pod-scale RANSAC reachable from the driver's --hyp-devices switch).
+    Population-equal to the single-device path."""
+    from epivo_tpu.pipeline import stream
+    from epivo_tpu.pipeline.config import VOConfig
+
+    F = 9
+    frames, gt, _ = photoreal.corridor_sequence(F, H=H, W=W, K=K, speed=0.5,
+                                                seed=5)
+    frames = [np.asarray(f) for f in frames]
+    cfg = _cfg()
+    vo_cfg = VOConfig(camera=cfg.camera, frontend=cfg.frontend,
+                      ransac=cfg.ransac, lm=cfg.lm)
+    pairs = [(i, i + 1) for i in range(F - 1)]
+    pd1 = runners._extract_pairs(stream.FrameStream(list(frames)), pairs,
+                                 vo_cfg, seed=0, n_points=32, batch=4)
+    m = mesh_mod.make_mesh(n_win=4, n_hyp=2)
+    pd2 = runners._extract_pairs(stream.FrameStream(list(frames)), pairs,
+                                 vo_cfg, seed=0, n_points=32, batch=4,
+                                 mesh=m)
+    assert set(pd1) == set(pd2)
+    dTs = sorted(np.abs(pd2[k]["T"] - pd1[k]["T"]).max() for k in pd1)
+    assert dTs[len(dTs) // 2] < 1e-3, dTs
+    assert max(dTs) < 0.1, dTs
