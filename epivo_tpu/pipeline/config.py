@@ -224,7 +224,10 @@ class GlobalBAConfig:
     """Global full-trajectory BA refinement stage (parallel/global_ba.py)
     over the windowed result — our own north-star component; the reference
     only ever chains independent ws=3 windows (`kitti_ba.cpp:853-870`).
-    Off by default: it is a polish pass (VERDICT r3 missing #3)."""
+    Off by default: it is a polish pass. With the r5 scale graph
+    supplying correct norms, the polish shows a real measured delta:
+    300-frame corridor no-GT sim3 ATE 1.99% -> 1.43%
+    (ATE_photoreal.json ba_no_gt vs ba_no_gt_global)."""
 
     enabled: bool = False
     max_iters: int = 20
@@ -253,6 +256,13 @@ class LoopConfig:
     min_inliers: int = 40  # RANSAC inliers to accept a verified loop
     max_keypoints: int = 512  # ORB budget per keyframe (half-res image)
     max_loops: int = 4  # strongest verified loops applied per run
+    # Odometry-consistency (perceptual-aliasing) gate: a verified loop
+    # is accepted only if the positional discrepancy it implies is at
+    # most this fraction of the path travelled between its endpoints.
+    # True loops imply the chain's drift (~0.3 measured on the loop
+    # course); aliased candidates in self-similar environments imply
+    # ~1.0 (loopclose.implied_drift_rate).
+    max_drift_rate: float = 0.7
     # Sim(3) correction: also spread the accumulated scale drift along
     # the span (measured from reverse-direction shared structure when
     # the loop has baseline; fitted to the positional gap for

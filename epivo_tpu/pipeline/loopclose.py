@@ -497,6 +497,29 @@ def relocalize(traj: np.ndarray, keyframes, config, vo_cfg_half: VOConfig,
     return traj.astype(np.float32), None
 
 
+def implied_drift_rate(traj: np.ndarray, i: int, j: int,
+                       T_meas: np.ndarray) -> float:
+    """Odometry-consistency measure of a candidate loop: the positional
+    discrepancy the loop would correct, divided by the path length
+    travelled between i and j (both in the trajectory's own units).
+
+    A TRUE loop's discrepancy is the chain's accumulated drift — a
+    fraction of the path (measured: ~0.3 on the 93 m out-and-back
+    course). A PERCEPTUALLY ALIASED candidate (self-similar structure:
+    repeating facades, tiled textures — the photoreal corridor's
+    procedural texture repeats every 8-10 m) verifies geometrically but
+    implies the chain is wrong by ~100% of the distance travelled.
+    Loop acceptance gates on this rate (``LoopConfig.max_drift_rate``)
+    — the standard odometry-consistency defense, which image data alone
+    cannot replace in a genuinely self-similar environment."""
+    traj = np.asarray(traj, np.float64)
+    pos_meas = (traj[i] @ np.linalg.inv(np.asarray(T_meas, np.float64)))[:3, 3]
+    disc = float(np.linalg.norm(pos_meas - traj[j][:3, 3]))
+    path = float(np.linalg.norm(
+        np.diff(traj[i : j + 1, :3, 3], axis=0), axis=-1).sum())
+    return disc / max(path, 1e-9)
+
+
 def close_loops(traj: np.ndarray, keyframes, config,
                 vo_cfg_half: VOConfig, seed: int = 0,
                 mlog=None) -> tuple[np.ndarray, list[Loop]]:
@@ -565,6 +588,19 @@ def close_loops(traj: np.ndarray, keyframes, config,
         if res.n_inliers < lcfg.min_inliers:
             continue
         T_meas = res.T_meas
+        # Perceptual-aliasing gate: reject geometrically-verified
+        # candidates whose implied drift exceeds the odometry budget
+        # (see implied_drift_rate). Without it, a self-similar corridor
+        # produces epipolar-consistent FALSE loops between co-linear
+        # poses (measured: 86 inliers between two outbound frames 38 m
+        # apart), and their spans then block the true revisit.
+        rate = implied_drift_rate(traj, i, j, T_meas)
+        if rate > lcfg.max_drift_rate:
+            if mlog is not None:
+                mlog.log({"stage": "loop_reject_aliasing", "i": i, "j": j,
+                          "inliers": res.n_inliers,
+                          "implied_drift_rate": round(rate, 3)})
+            continue
         # Sim(3): measure the accumulated scale drift when the loop has
         # baseline (reverse-direction shared structure); for
         # zero-baseline revisits fit the 1-D ramp that best explains the

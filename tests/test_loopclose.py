@@ -337,3 +337,23 @@ def test_relocalize_reanchors_after_collapse():
     assert post_err < 0.3 * pre_err, (pre_err, post_err)
     # Pre-collapse prefix untouched.
     np.testing.assert_allclose(np.asarray(traj2)[:c], gt[:c], atol=1e-5)
+
+
+def test_implied_drift_rate_separates_aliasing_from_true_loops():
+    """An aliased candidate between co-linear poses implies ~100% drift;
+    a true revisit implies only the accumulated drift."""
+    F = 60
+    traj = np.eye(4)[None].repeat(F, 0)
+    traj[:, 2, 3] = np.arange(F, dtype=np.float64)  # straight +z, 1 m steps
+    # Aliased: frames 10 and 40 claim coincidence (T_meas ~ identity)
+    # while the chain has them 30 m apart.
+    rate_alias = loopclose.implied_drift_rate(traj, 10, 40, np.eye(4))
+    assert rate_alias > 0.95
+    # True loop: out-and-back where the chain drifted 20% of the path.
+    gt = traj.copy()
+    gt[30:, 2, 3] = 30 - (np.arange(30) + 1)  # turn around at frame 30
+    est = gt.copy()
+    est[-1, :3, 3] += [0.0, 0.0, 0.2 * 58]  # 20%-of-path endpoint drift
+    T_meas = np.linalg.inv(np.linalg.inv(gt[2]) @ gt[-1])
+    rate_true = loopclose.implied_drift_rate(est, 2, F - 1, T_meas)
+    assert rate_true < 0.35, rate_true
