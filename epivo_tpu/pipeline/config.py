@@ -259,10 +259,11 @@ class LoopConfig:
     # Odometry-consistency (perceptual-aliasing) gate: a verified loop
     # is accepted only if the positional discrepancy it implies is at
     # most this fraction of the path travelled between its endpoints.
-    # True loops imply the chain's drift (~0.3 measured on the loop
-    # course); aliased candidates in self-similar environments imply
-    # ~1.0 (loopclose.implied_drift_rate).
-    max_drift_rate: float = 0.7
+    # Measured on the 93 m loop course (chip, scripts/diag output):
+    # true revisits imply 0.72-0.78 (the course's odometry drift is
+    # large); aliased candidates imply >= 0.97. The budget separates
+    # the measured populations.
+    max_drift_rate: float = 0.9
     # Sim(3) correction: also spread the accumulated scale drift along
     # the span (measured from reverse-direction shared structure when
     # the loop has baseline; fitted to the positional gap for

@@ -261,8 +261,7 @@ def test_verify_loop_nonzero_baseline_recovers_norm():
     t_next = np.linalg.inv(gt[i]) @ gt[i + 1]
     t_next_norm = float(np.linalg.norm(t_next[:3, 3]))
     res = loopclose.verify_loop(half[i], half[j], half[i + 1], t_next_norm,
-                                vo_half, jax.random.PRNGKey(3),
-                                pred_t_norm=base_gt, kf_spacing=1.0)
+                                vo_half, jax.random.PRNGKey(3))
     assert res is not None
     assert not res.zero_baseline
     norm = float(np.linalg.norm(res.T_meas[:3, 3]))
