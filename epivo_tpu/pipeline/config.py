@@ -250,7 +250,14 @@ class LoopConfig:
 
     enabled: bool = False
     keyframe_stride: int = 8  # store every Nth frame (half-res) as keyframe
-    min_gap: int = 40  # frames; a candidate must be at least this old
+    # Temporal-distance gate: loop candidates must be at least this many
+    # frames old. Short-range same-direction aliases (self-similar
+    # structure 30-60 frames apart along a straight) verify
+    # geometrically AND can imply drift rates inside the odometry
+    # budget — temporal distance is the standard first defense
+    # (measured on the offset loop course: gap-40/56 aliases slipped a
+    # 0.9 budget; true revisits have gaps of hundreds of frames).
+    min_gap: int = 120
     max_dist: float = 64.0  # Hamming gate for candidate scoring + verify
     min_matches: int = 60  # mutual matches to shortlist a candidate
     min_inliers: int = 40  # RANSAC inliers to accept a verified loop
@@ -265,9 +272,9 @@ class LoopConfig:
     # the measured populations.
     max_drift_rate: float = 0.9
     # Sim(3) correction: also spread the accumulated scale drift along
-    # the span (measured from reverse-direction shared structure when
-    # the loop has baseline; fitted to the positional gap for
-    # zero-baseline revisits). False = pure SE(3) spreading (r4).
+    # the span, MEASURED from reverse-direction shared structure when
+    # the loop has baseline (zero-baseline revisits always spread
+    # SE(3)-only). False = pure SE(3) spreading everywhere (r4).
     sim3: bool = True
     # Hard cap on stored half-res uint8 keyframe images; exceeded ->
     # keyframe stride doubles (loopclose.KeyframeStore). Bounds the
