@@ -30,6 +30,21 @@ class FrontendConfig:
     orb_pyramid: bool = False
     orb_levels: int = 8
     orb_scale_factor: float = 1.2
+    # Robust-association fallback (the reference's `really_robust_ass`
+    # path, `kitti_ba.cpp:584-754`, used as a FALLBACK instead of an
+    # alternative): a pair whose KLT association collapses — RANSAC
+    # inliers below this fraction of the keypoint budget, or the step
+    # reverted — is re-extracted with ORB descriptor matching, which
+    # survives the patch deformation that kills translation-only LK
+    # (measured mid-turn on the loop course: KLT locks onto wrong
+    # offsets and the pose comes out at 40% of the true rotation with
+    # 59/512 'inliers'; ORB gives 227 inliers and the rotation within
+    # 0.5 degrees). 0 disables.
+    orb_fallback_frac: float = 0.25
+    # At most this many failed pairs retain their frames (as uint8) for
+    # the ORB retry pass — bounds the retry memory at ~0.5 MB/pair for
+    # KITTI-sized frames.
+    orb_fallback_max: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

@@ -438,25 +438,42 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
     step = _extract_step(vo_cfg, use_orb, mesh)
     key = jax.random.PRNGKey(seed + len(out))
 
-    def on_ready(res, chunk):
+    # Robust-association fallback state: pairs whose KLT association
+    # collapses retain their frames (uint8) for an ORB retry pass below.
+    fb_frac = vo_cfg.frontend.orb_fallback_frac if not use_orb else 0.0
+    fb_floor = fb_frac * vo_cfg.frontend.max_keypoints
+    pend_frames: dict = {}
+    retry_frames: dict = {}
+
+    def unpack(res, chunk):
         T_d, p0_d, p1_d, masks_d, scal_d = res
-        T = np.asarray(T_d)
         masks = np.asarray(masks_d)
-        sel_all = masks[:, 0]
-        inl_all = masks[:, 1]
-        p0_all = np.asarray(p0_d)
-        p1_all = np.asarray(p1_d)
-        scal = np.asarray(scal_d)
+        return (np.asarray(T_d), np.asarray(p0_d), np.asarray(p1_d),
+                masks[:, 0], masks[:, 1], np.asarray(scal_d))
+
+    def entry(T, p0, p1, sel, inl, scal_row):
+        take = np.argsort(~sel)[:n_points]
+        return dict(
+            p=p0[take], p_t=p1[take], mask=sel[take],
+            T=T, p_full=p0, p_t_full=p1,
+            # Depth-ratio consumers want the parallax-ungated inliers
+            # (median-robust to the noisy small-parallax depths).
+            mask_full=inl,
+            n_inl=int(scal_row[0]), rev=bool(scal_row[1] > 0.5),
+        )
+
+    def on_ready(res, chunk):
+        T, p0_all, p1_all, sel_all, inl_all, scal = unpack(res, chunk)
         for b, (i, j) in enumerate(chunk):
-            sel = sel_all[b]
-            take = np.argsort(~sel)[:n_points]
-            out[(i, j)] = dict(
-                p=p0_all[b][take], p_t=p1_all[b][take], mask=sel[take],
-                T=T[b], p_full=p0_all[b], p_t_full=p1_all[b],
-                # Depth-ratio consumers want the parallax-ungated inliers
-                # (median-robust to the noisy small-parallax depths).
-                mask_full=inl_all[b],
-            )
+            out[(i, j)] = entry(T[b], p0_all[b], p1_all[b], sel_all[b],
+                                inl_all[b], scal[b])
+            e = out[(i, j)]
+            fr = pend_frames.pop((i, j), None)
+            if (fb_frac > 0 and fr is not None
+                    and (e["rev"] or e["n_inl"] < fb_floor)
+                    and len(retry_frames) < vo_cfg.frontend.orb_fallback_max):
+                retry_frames[(i, j)] = tuple(
+                    np.clip(np.rint(f), 0, 255).astype(np.uint8) for f in fr)
         if mlog is not None:
             sc = scal[: len(chunk)]
             mlog.log({
@@ -471,6 +488,9 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
     for c0 in range(0, len(todo), batch):
         chunk = todo[c0 : c0 + batch]
         idxs = chunk + [chunk[-1]] * (batch - len(chunk))
+        if fb_frac > 0:
+            for (i, j) in chunk:
+                pend_frames[(i, j)] = (fs.get(i), fs.get(j))
         src = jnp.asarray(np.stack([fs.get(i) for i, _ in idxs]))
         tgt = jnp.asarray(np.stack([fs.get(j) for _, j in idxs]))
         key, keys = _split_keys(key, batch)  # jitted: no eager ops here
@@ -480,6 +500,45 @@ def _extract_pairs(frames, pairs, vo_cfg: VOConfig, seed: int,
         # which evicts everything).
         fs.evict_below(int(min(sufmin[min(c0 + batch, len(todo))], 2**62)))
     pipe.flush()
+
+    if retry_frames:
+        # ORB retry pass (the reference's `really_robust_ass` as a
+        # FALLBACK, `kitti_ba.cpp:584-754`): descriptor matching survives
+        # the patch deformation that kills translation-only LK
+        # (rotation-dominant turns past close structure). A retried
+        # pair's result replaces the KLT one only when it is healthier.
+        orb_step = _extract_step(vo_cfg, True, mesh)
+        n_swap = 0
+
+        def on_retry(res, chunk):
+            nonlocal n_swap
+            T, p0_all, p1_all, sel_all, inl_all, scal = unpack(res, chunk)
+            for b, (i, j) in enumerate(chunk):
+                e = entry(T[b], p0_all[b], p1_all[b], sel_all[b],
+                          inl_all[b], scal[b])
+                old = out[(i, j)]
+                if not e["rev"] and e["n_inl"] > old["n_inl"]:
+                    out[(i, j)] = e
+                    n_swap += 1
+
+        pipe2 = stream.PipelinedDispatch(on_retry, depth=pipeline_depth)
+        rpairs = sorted(retry_frames)
+        for c0 in range(0, len(rpairs), batch):
+            chunk = rpairs[c0 : c0 + batch]
+            idxs = chunk + [chunk[-1]] * (batch - len(chunk))
+            src = jnp.asarray(np.stack(
+                [retry_frames[pr][0] for pr in idxs]).astype(np.float32))
+            tgt = jnp.asarray(np.stack(
+                [retry_frames[pr][1] for pr in idxs]).astype(np.float32))
+            key, keys = _split_keys(key, batch)
+            pipe2.submit(lambda s=src, t=tgt, k=keys: orb_step(s, t, k),
+                         chunk)
+        pipe2.flush()
+        if mlog is not None:
+            mlog.log({"stage": "extract_orb_fallback",
+                      "n_retried": len(rpairs), "n_replaced": n_swap})
+        if ckpt is not None:
+            ckpt.maybe_save(len(out), _pack_pairs(out))
     return out
 
 

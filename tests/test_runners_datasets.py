@@ -494,3 +494,62 @@ def test_run_stereo_ba_sequence():
     gt_d = np.linalg.norm(np.diff(res.gt_trajectory[:, :3, 3], axis=0), axis=-1)
     np.testing.assert_allclose(d, gt_d, rtol=0.25)
     assert res.ate is not None and res.ate < 0.2, res.ate
+
+
+@pytest.mark.slow
+def test_extract_pairs_orb_fallback_recovers_turn_pair():
+    """Robust-association fallback (ref `really_robust_ass` as a
+    FALLBACK): on a rotation-dominant turn pair past close structure,
+    translation-only KLT locks onto wrong texture offsets (few RANSAC
+    inliers, rotation at ~40% of truth — and cv2's LK fails the same
+    way, measured); the ORB retry pass replaces the association and
+    recovers the rotation."""
+    import dataclasses
+
+    import jax
+
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.geometry import camera as cam_mod
+    from epivo_tpu.pipeline import runners, stream
+    from epivo_tpu.pipeline.config import (
+        FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+
+    H, W, f = 188, 1241, 718.856  # horizontal band: full focal => the
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+    gt = photoreal.loop_trajectory()
+    scene = photoreal.CorridorScene()
+    tex = scene.textures()
+    rng = np.random.default_rng(7)
+    k0 = 80  # mid-turn
+
+    def frame(k):
+        return photoreal.render_frame(scene, tex, K, gt[k], H, W,
+                                      noise_sigma=2.0, rng=rng)
+
+    frames = [frame(k0), frame(k0 + 1)]
+    cam = cam_mod.Pinhole(f, f, W / 2.0, H / 2.0, W, H)
+    base = VOConfig(camera=cam,
+                    frontend=FrontendConfig(fast_threshold=12.0,
+                                            max_keypoints=256, klt_levels=4),
+                    ransac=RansacConfig(n_hyp=256), lm=LMConfig(n_points=32))
+    T_gt = np.linalg.inv(gt[k0 + 1]) @ gt[k0]
+
+    def ang(R):
+        return np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+
+    off = VOConfig(camera=cam,
+                   frontend=dataclasses.replace(base.frontend,
+                                                orb_fallback_frac=0.0),
+                   ransac=base.ransac, lm=base.lm)
+    pd_off = runners._extract_pairs(stream.FrameStream(list(frames)),
+                                    [(0, 1)], off, 0, n_points=32, batch=2)
+    pd_on = runners._extract_pairs(stream.FrameStream(list(frames)),
+                                   [(0, 1)], base, 0, n_points=32, batch=2)
+    a_off = ang(np.asarray(pd_off[(0, 1)]["T"])[:3, :3])
+    a_on = ang(np.asarray(pd_on[(0, 1)]["T"])[:3, :3])
+    a_gt = ang(T_gt[:3, :3])
+    # KLT alone under-rotates badly; the fallback recovers it.
+    assert a_off < 0.7 * a_gt, (a_off, a_gt)
+    assert abs(a_on - a_gt) < 0.2 * a_gt, (a_on, a_gt)
+    assert pd_on[(0, 1)]["n_inl"] > 2 * pd_off[(0, 1)]["n_inl"]
