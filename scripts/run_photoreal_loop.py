@@ -122,7 +122,7 @@ def main():
                    "fast_threshold": 30.0, "max_keypoints": 512,
                    "n_hyp": 512, "keyframe_stride": 8, "sim3": True,
                    "wall_includes_render": True},
-        "notes": "Interpretation (r5, measured on the chip): the out-and-back course's true revisit (265 mutual matches) is applied SE(3)-only (zero baseline) and pins the endpoint gap 73.6 -> 1.47 m and se3 ATE 37.9 -> 15.9 m; sim3 ATE is unchanged because this course's residual drift after the r5 scale graph is ROTATIONAL (two long low-speed 180-degree turns; length ratio 1.08 shows scale is already right), and a single loop edge cannot restore interior shape — that is the multi-edge Sim(3) pose-graph's job (PARITY known gaps). On the offset course the revisit's retrieval scores (40-50 mutual matches at half resolution under a 1.8 m lateral offset and drift) fall below min_matches=60, so the stage correctly NO-OPS (off == on) instead of accepting one of the equally-scored perceptually-aliased candidates; the nonzero-baseline verification branch itself is demonstrated at imagery level in test_loopclose (norm within 4-10% of truth).",
+        "notes": "Interpretation (r5, measured on the chip): with the robust-association ORB fallback in the frontend (the turns' KLT collapse fixed), the out-and-back course's base odometry improves (se3 ATE 37.9 -> 24.6 m vs the pre-fallback run) and the true revisit (265 mutual matches, zero baseline, SE(3)-only spread) now cuts sim3 ATE 15.7 -> 9.8%, se3 ATE 24.6 -> 9.2 m, and pins the endpoint gap 45.2 -> 1.39 m. The residual interior error is rotational drift a single loop edge cannot remove (multi-edge Sim(3) pose graph = future work, PARITY). On the offset course the revisit's retrieval scores (40-50 mutual matches at half resolution under a 1.8 m lateral offset and drift) fall below min_matches=60, so the stage correctly NO-OPS (off == on) instead of accepting one of the equally-scored perceptually-aliased candidates; the nonzero-baseline verification branch and the measured-sigma Sim(3) path are demonstrated at imagery level in test_loopclose (norm within 4-10% of truth, sigma ~1 on drift-free data).",
         "no_gt_loop_off": off,
         "no_gt_loop_on": on,
         "offset_no_gt_loop_off": off_ob,
