@@ -256,6 +256,7 @@ def loop_trajectory(
     turn_speed: float = 0.15,
     lateral: float = 4.8,
     close_offset: float = 0.0,
+    laps: int = 1,
 ):
     """Out-and-back loop course inside the corridor: straight out, slow
     180-degree arc (radius ~ turn_speed * n_turn / pi, bounded by the
@@ -263,6 +264,12 @@ def loop_trajectory(
     and a short closing straight that re-traverses the start region with
     the ORIGINAL heading — the final frames see the same view as the
     first ones, which is what loop-closure detection needs.
+
+    ``laps`` > 1 repeats the full out-turn-back-turn circuit: every lap
+    re-traverses both straights, so the course carries SEVERAL true
+    revisits with overlapping spans — the multi-loop fixture for the
+    joint Sim(3) pose-graph correction (single-loop greedy spreading can
+    apply only one constraint per span).
 
     ``close_offset`` laterally offsets the closing straight from the
     outbound lane (by tightening the second arc): the revisit then
@@ -284,8 +291,7 @@ def loop_trajectory(
         + [(d_yaw, turn_speed)] * n_turn
         + [(0.0, speed)] * n_back
         + [(d_yaw, turn_speed2)] * n_turn
-        + [(0.0, speed)] * n_close
-    )
+    ) * max(1, laps) + [(0.0, speed)] * n_close
     # Smooth the speed transitions (vehicles decelerate over several
     # frames; a hard 4x per-frame speed step would also read as a
     # catastrophic boundary to the scale chain's temporal gate).

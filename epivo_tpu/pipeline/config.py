@@ -295,6 +295,13 @@ class LoopConfig:
     # keyframe stride doubles (loopclose.KeyframeStore). Bounds the
     # loop tee at ~budget * 0.12 MB for KITTI-sized frames.
     keyframe_budget: int = 512
+    # Multi-loop joint correction: when >= 2 loops verify, reconcile
+    # them with the Sim(3) pose-graph solve (pipeline/posegraph.py) —
+    # overlapping spans are solved jointly instead of greedily dropped
+    # (multi-lap courses constrain the same poses through several
+    # revisits). A single verified loop always uses the endpoint-exact
+    # greedy spread. False = r4/r5-greedy behavior everywhere.
+    pose_graph: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

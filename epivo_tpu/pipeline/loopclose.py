@@ -510,9 +510,16 @@ def close_loops(traj: np.ndarray, keyframes, config,
     keyframes: a :class:`KeyframeStore` or {frame_idx: half-res image};
     each keyframe index k must also have its adjacent frame k+1 stored
     (the norm-recovery pair). Returns (corrected trajectory, applied
-    loops). Detection is one jitted retrieval pass; each accepted loop
-    is verified and spread in turn (later candidates are re-predicted
-    against the already-corrected trajectory)."""
+    loops). Detection is one jitted retrieval pass.
+
+    With ``config.loop.pose_graph`` (default) all accepted loops are
+    COLLECTED (overlapping spans allowed, near-duplicate revisits
+    deduped) and, when two or more verify, reconciled in one Sim(3)
+    pose-graph solve (:mod:`epivo_tpu.pipeline.posegraph`) — the joint
+    treatment multi-lap courses need. A single accepted loop — and the
+    whole pass when ``pose_graph=False`` — uses the greedy
+    endpoint-exact spread (one loop per non-overlapping span, later
+    candidates re-predicted against the already-corrected trajectory)."""
     import jax.numpy as jnp
 
     from epivo_tpu.frontend.orb import PATCH
@@ -547,9 +554,22 @@ def close_loops(traj: np.ndarray, keyframes, config,
         if len(applied) >= lcfg.max_loops:
             break
         i, j = kf_idx[kp_], kf_idx[qp]  # i earlier, j revisit
-        # One loop per overlapping span: spreading twice over overlapping
-        # ranges double-corrects.
-        if any(not (j < a or i > b) for (a, b) in closed_spans):
+        if lcfg.pose_graph:
+            # Joint mode: overlapping spans are welcome (the graph
+            # reconciles them), but each revisit frame contributes ONE
+            # loop — a query matching several earlier keyframes is one
+            # physical place, and the runner-up matches of a verified
+            # query are exactly the perceptual aliases (measured on the
+            # loop course: the true 423-inlier revisit's second match
+            # verifies with 34 inliers at a contradictory location).
+            # Neighboring-keyframe duplicates of one revisit are also
+            # skipped: they re-measure the same constraint while each
+            # verification costs a dispatch round-trip.
+            if any(abs(j - b) <= 2 * stride for (_, b) in closed_spans):
+                continue
+        elif any(not (j < a or i > b) for (a, b) in closed_spans):
+            # Greedy mode: one loop per overlapping span — spreading
+            # twice over overlapping ranges double-corrects.
             continue
         if i + 1 >= traj.shape[0] or j + 1 >= traj.shape[0]:
             continue
@@ -593,7 +613,8 @@ def close_loops(traj: np.ndarray, keyframes, config,
                 vo_cfg_half, ks)
             if s is not None:
                 sigma = s
-        traj = spread_drift(traj, i, j, T_meas, sigma=sigma)
+        if not lcfg.pose_graph:
+            traj = spread_drift(traj, i, j, T_meas, sigma=sigma)
         applied.append(Loop(i, j, T_meas, res.n_inliers, score, sigma))
         closed_spans.append((i, j))
         if mlog is not None:
@@ -601,4 +622,19 @@ def close_loops(traj: np.ndarray, keyframes, config,
                       "inliers": res.n_inliers, "score": score,
                       "sigma": round(float(sigma), 4),
                       "zero_baseline": bool(res.zero_baseline)})
+    if lcfg.pose_graph and applied:
+        if len(applied) >= 2:
+            # Joint Sim(3) pose-graph reconciliation of all loops.
+            from epivo_tpu.pipeline import posegraph
+
+            traj = np.asarray(
+                posegraph.optimize_pose_graph(traj, applied,
+                                              stride=stride), np.float64)
+            if mlog is not None:
+                mlog.log({"stage": "loop_pose_graph",
+                          "n_loops": len(applied)})
+        else:
+            lp = applied[0]
+            traj = spread_drift(traj, lp.i, lp.j, lp.T_meas,
+                                sigma=lp.sigma)
     return traj.astype(np.float32), applied
