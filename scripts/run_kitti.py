@@ -49,7 +49,12 @@ def main():
                     help="dispatch batches in flight before fetching")
     ap.add_argument("--global-ba", action="store_true",
                     help="polish the windowed result with one joint "
-                         "full-trajectory BA (ba mode)")
+                         "full-trajectory BA (ba mode). Measured neutral "
+                         "on ATE with the r5 scale graph (paired on/off "
+                         "deltas -0.33/+0.06/+0.24 %% of length across 3 "
+                         "seeds, ATE_photoreal.json): use it as the "
+                         "driver path of the mesh-sharded global solve "
+                         "(--devices), not as an accuracy lever")
     ap.add_argument("--loop-close", action="store_true",
                     help="loop-closure post-stage: keyframe retrieval + "
                          "verification + drift spreading (ba mode)")

@@ -46,6 +46,15 @@ def main():
     ap.add_argument("--ba-seeds", type=str, default="0",
                     help="comma list; >1 seeds quantifies the no-GT "
                          "chain's run-to-run realization variance")
+    ap.add_argument("--skip-ba-base", action="store_true",
+                    help="keep the existing artifact's base ba_no_gt* "
+                         "blocks (only run what other flags request)")
+    ap.add_argument("--global-seeds", type=str, default="",
+                    help="comma list: run the global-BA polish at these "
+                         "extraction seeds (tags ba_no_gt_global[_seedN]) "
+                         "— PAIRED against the same-seed base runs, the "
+                         "on/off delta is then same-conditions, not "
+                         "across-seed noise")
     ap.add_argument("--collision-free", action="store_true",
                     help="extra no-GT run with the back wall beyond the "
                          "trajectory end (no wall collision)")
@@ -96,7 +105,12 @@ def main():
             "reverted_frames": int(res.per_frame["reverted"].sum()),
             "wall_s_total": round(time.time() - t0, 1),
         }
-    out = {
+    # Merge-update: keep every block of the existing artifact that this
+    # invocation does not re-run (partial re-runs stay self-consistent).
+    out = {}
+    if os.path.exists(art_path):
+        out = json.load(open(art_path))
+    out.update({
         "fixture": "photoreal corridor (texture+occlusion+exposure drift"
                    "+sensor noise)",
         "frames": args.frames,
@@ -113,7 +127,7 @@ def main():
             "wall_includes_render": True,
         },
         "vo_gt_scale": vo_block,
-    }
+    })
 
     if not args.skip_ba:
         from epivo_tpu.eval import metrics as ev
@@ -166,10 +180,11 @@ def main():
             }
 
         seeds = [int(x) for x in args.ba_seeds.split(",")]
-        for s in seeds:
-            tag = "ba_no_gt" if s == seeds[0] else "ba_no_gt_seed%d" % s
-            ba_run(tag, GlobalBAConfig(enabled=False), seed=s)
-        if len(seeds) > 1:
+        if not args.skip_ba_base:
+            for s in seeds:
+                tag = "ba_no_gt" if s == seeds[0] else "ba_no_gt_seed%d" % s
+                ba_run(tag, GlobalBAConfig(enabled=False), seed=s)
+        if len(seeds) > 1 and not args.skip_ba_base:
             # The no-GT chain's realization varies run to run: the late
             # corridor section (the camera reaches the fixture's back
             # wall) puts several boundaries in a near-chaotic regime, so
@@ -190,7 +205,24 @@ def main():
 
             ba_run("ba_no_gt_collision_free", GlobalBAConfig(enabled=False),
                    scene=CorridorScene(back_z=float(args.frames) * 0.9 + 60))
-        if not args.skip_global:
+        if args.global_seeds:
+            # Paired on/off evidence (VERDICT r4 next #4): same seed,
+            # same fixture, only the polish stage differs.
+            for s in (int(x) for x in args.global_seeds.split(",")):
+                tag = ("ba_no_gt_global" if s == 0
+                       else "ba_no_gt_global_seed%d" % s)
+                ba_run(tag, GlobalBAConfig(enabled=True), seed=s)
+            deltas = {}
+            for s in range(16):  # every seed with BOTH blocks present
+                base = "ba_no_gt" if s == 0 else "ba_no_gt_seed%d" % s
+                gtag = ("ba_no_gt_global" if s == 0
+                        else "ba_no_gt_global_seed%d" % s)
+                if base in out and gtag in out:
+                    deltas["seed%d" % s] = round(
+                        out[gtag]["ate_sim3_pct_of_length"]
+                        - out[base]["ate_sim3_pct_of_length"], 3)
+            out["global_ba_paired_delta_pct"] = deltas
+        elif not args.skip_global:
             # Global full-trajectory polish (VERDICT r3 missing #3): one
             # joint LM over the complete consecutive+skip constraint graph.
             ba_run("ba_no_gt_global", GlobalBAConfig(enabled=True))
