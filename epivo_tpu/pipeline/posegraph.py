@@ -259,7 +259,14 @@ def _se3_embed(T: np.ndarray, s_rel: float) -> np.ndarray:
 def build_graph(traj: np.ndarray, loops: list[Loop],
                 node_idx: list[int],
                 odo_t_sigma: float = 0.03,
-                odo_r_sigma: float = 0.005,
+                # Rotation trust is deliberately LOOSE (0.02 rad/edge):
+                # swept across a clean-drift and a catastrophic-turn
+                # regime (30% rotation collapse through one arc, the
+                # failure KLT actually produces), 0.02 is neutral on the
+                # former and 20% better on the latter — verified loop
+                # rotations (Huber + chi2-pruned) deserve to dominate a
+                # chain segment that is grossly wrong.
+                odo_r_sigma: float = 0.02,
                 odo_s_rate: float = 0.004,
                 loop_t_frac: float = 0.05,
                 loop_r_sigma: float = 0.01,
