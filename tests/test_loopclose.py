@@ -356,3 +356,78 @@ def test_implied_drift_rate_separates_aliasing_from_true_loops():
     T_meas = np.linalg.inv(np.linalg.inv(gt[2]) @ gt[-1])
     rate_true = loopclose.implied_drift_rate(est, 2, F - 1, T_meas)
     assert rate_true < 0.35, rate_true
+
+
+def test_close_loops_joint_on_two_lap_fixture():
+    """Imagery-level multi-loop: render the TWO-LAP course (several true
+    revisits with overlapping spans), inject smooth per-step drift with
+    a scale component, and check the joint Sim(3) pose-graph branch of
+    close_loops collects >= 2 loops and recovers trajectory + length —
+    which greedy (one loop per overlapping span) structurally cannot."""
+    import dataclasses
+
+    from epivo_tpu.datasets import photoreal
+    from epivo_tpu.geometry import camera as cam_mod, se3
+    from epivo_tpu.pipeline.config import (
+        BAConfig, FrontendConfig, LMConfig, RansacConfig, VOConfig,
+    )
+    import jax.numpy as jnp
+
+    H, W = 188, 620
+    K = np.array([[359.4, 0, W / 2.0], [0, 359.4, H / 2.0], [0, 0, 1.0]])
+    frames, gt, _ = photoreal.loop_sequence(H=H, W=W, K=K, noise_sigma=1.0,
+                                            laps=2)
+    stride = 8
+    kf = {}
+    for idx, f in enumerate(frames):
+        if idx % stride in (0, 1):
+            kf[idx] = loopclose.keyframe_half(f)
+
+    # Smooth drift: yaw + forward bias + per-step scale shrink (the
+    # monocular failure the Sim(3) graph corrects).
+    drift = np.asarray(
+        se3.se3_exp(jnp.asarray([0.0, 0.001, 0.0, 0.0, 0.0, 0.006])),
+        np.float64)
+    est = gt.copy().astype(np.float64)
+    for k in range(1, len(est)):
+        step = np.linalg.inv(gt[k - 1]) @ gt[k]
+        step[:3, 3] *= np.exp(-0.0012 * k)
+        est[k] = est[k - 1] @ step @ drift
+
+    cfg = BAConfig(
+        camera=cam_mod.Pinhole(359.4, 359.4, W / 2.0, H / 2.0, W, H),
+        frontend=FrontendConfig(fast_threshold=25.0, max_keypoints=512),
+        ransac=RansacConfig(n_hyp=512),
+        lm=LMConfig(n_points=32),
+        loop=LoopConfig(enabled=True, min_gap=60, min_matches=30,
+                        min_inliers=25, max_loops=4),
+    )
+    c = cfg.camera
+    half_cam = cam_mod.Pinhole(c.fx / 2, c.fy / 2, c.cx / 2, c.cy / 2,
+                               c.width // 2, c.height // 2)
+    vo_half = VOConfig(camera=half_cam, frontend=cfg.frontend,
+                       ransac=cfg.ransac, lm=cfg.lm)
+    traj2, loops = loopclose.close_loops(est, kf, cfg, vo_half, seed=0)
+    assert len(loops) >= 2, loops  # the joint branch actually engaged
+
+    def ate(t):
+        return np.sqrt(((np.asarray(t)[:, :3, 3]
+                         - gt[:, :3, 3]) ** 2).sum(-1).mean())
+
+    def length(t):
+        return float(np.linalg.norm(
+            np.diff(np.asarray(t, np.float64)[:, :3, 3], axis=0),
+            axis=1).sum())
+
+    assert ate(traj2) < 0.6 * ate(est), (ate(est), ate(traj2), loops)
+    # The scale component is recovered through the t=0 loop positions
+    # (no direct scale measurement on zero-baseline revisits).
+    r_pre = length(est) / length(gt)
+    r_post = length(traj2) / length(gt)
+    assert abs(np.log(r_post)) < 0.6 * abs(np.log(r_pre)), (r_pre, r_post)
+
+    # Greedy on the same inputs: spans overlap, fewer loops applicable.
+    cfg_g = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, pose_graph=False))
+    traj_g, loops_g = loopclose.close_loops(est, kf, cfg_g, vo_half, seed=0)
+    assert len(loops_g) < len(loops), (loops_g, loops)
