@@ -49,6 +49,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+from scipy import sparse
+from scipy.sparse import linalg as splinalg
 
 from epivo_tpu.pipeline.loopclose import (Loop, se3_exp_np, se3_log_np,
                                           _so3_exp_np)
@@ -134,6 +136,99 @@ def sim3_inv(S: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Batched Sim(3) ops ([N, 4, 4] at once): the GN inner loop evaluates
+# ~14 x n_edges logs per iteration for the multiplicative-perturbation
+# Jacobians; scalar calls made a KITTI-scale graph (560 nodes) spend
+# ~30 s in Python op overhead (profiled) — batching turns that into a
+# handful of vector passes per iteration.
+
+
+def _hat_batch(w: np.ndarray) -> np.ndarray:
+    z = np.zeros(w.shape[0])
+    return np.stack([
+        np.stack([z, -w[:, 2], w[:, 1]], -1),
+        np.stack([w[:, 2], z, -w[:, 0]], -1),
+        np.stack([-w[:, 1], w[:, 0], z], -1),
+    ], 1)
+
+
+def _so3_log_batch(R: np.ndarray) -> np.ndarray:
+    tr = R[:, 0, 0] + R[:, 1, 1] + R[:, 2, 2]
+    th = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    ax = 0.5 * np.stack([R[:, 2, 1] - R[:, 1, 2],
+                         R[:, 0, 2] - R[:, 2, 0],
+                         R[:, 1, 0] - R[:, 0, 1]], -1)
+    small = th < 1e-9
+    fac = np.where(small, 1.0, th / np.sin(np.where(small, 1.0, th)))
+    return fac[:, None] * ax
+
+
+def _calc_W_batch(phi: np.ndarray, lam: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(phi, axis=-1)
+    s = np.exp(lam)
+    K = _hat_batch(phi)
+    K2 = K @ K
+    big_l = np.abs(lam) > 1e-5
+    lam_s = np.where(big_l, lam, 1.0)
+    a = np.where(big_l, (s - 1.0) / lam_s, 1.0 + lam / 2 + lam * lam / 6)
+    big_t = th > 1e-5
+    th_s = np.where(big_t, th, 1.0)
+    den = np.where(big_t | big_l, lam * lam + th * th, 1.0)
+    sin_t, cos_t = np.sin(th), np.cos(th)
+    b_ot = np.where(
+        big_t,
+        (s * (lam * sin_t - th * cos_t) + th) / (den * th_s),
+        np.where(big_l, (s * (lam - 1.0) + 1.0) / (lam_s * lam_s),
+                 0.5 + lam / 3))
+    c_ot2 = np.where(
+        big_t,
+        (a - (s * (lam * cos_t + th * sin_t) - lam) / den) / (th_s * th_s),
+        np.where(big_l, (s * (lam * lam - 2 * lam + 2) - 2.0)
+                 / (2 * lam_s**3), 1.0 / 6 + lam / 8))
+    return (a[:, None, None] * np.eye(3)[None]
+            + b_ot[:, None, None] * K + c_ot2[:, None, None] * K2)
+
+
+def sim3_log_batch(S: np.ndarray) -> np.ndarray:
+    """[N, 4, 4] -> [N, 7]; vectorized twin of :func:`sim3_log`."""
+    sR = S[:, :3, :3]
+    s = np.cbrt(np.linalg.det(sR))
+    lam = np.log(np.maximum(s, _EPS))
+    R = sR / s[:, None, None]
+    phi = _so3_log_batch(R)
+    W = _calc_W_batch(phi, lam)
+    rho = np.linalg.solve(W, S[:, :3, 3][..., None])[..., 0]
+    return np.concatenate([rho, phi, lam[:, None]], -1)
+
+
+def sim3_exp_batch(xi: np.ndarray) -> np.ndarray:
+    """[N, 7] -> [N, 4, 4]; vectorized twin of :func:`sim3_exp`."""
+    rho, phi, lam = xi[:, :3], xi[:, 3:6], xi[:, 6]
+    th = np.linalg.norm(phi, axis=-1)
+    K = _hat_batch(phi)
+    K2 = K @ K
+    big = th > 1e-9
+    th_s = np.where(big, th, 1.0)
+    A = np.where(big, np.sin(th) / th_s, 1.0)
+    B = np.where(big, (1 - np.cos(th)) / (th_s * th_s), 0.5)
+    R = (np.eye(3)[None] + A[:, None, None] * K + B[:, None, None] * K2)
+    S = np.tile(np.eye(4), (len(xi), 1, 1))
+    S[:, :3, :3] = np.exp(lam)[:, None, None] * R
+    S[:, :3, 3] = (_calc_W_batch(phi, lam) @ rho[..., None])[..., 0]
+    return S
+
+
+def sim3_inv_batch(S: np.ndarray) -> np.ndarray:
+    sR = S[:, :3, :3]
+    s2 = np.cbrt(np.linalg.det(sR)) ** 2
+    Rinv = np.swapaxes(sR, 1, 2) / s2[:, None, None]
+    out = np.tile(np.eye(4), (len(S), 1, 1))
+    out[:, :3, :3] = Rinv
+    out[:, :3, 3] = -(Rinv @ S[:, :3, 3][..., None])[..., 0]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Graph construction + Gauss-Newton
 
 
@@ -156,86 +251,107 @@ def optimize_sim3_graph(nodes: np.ndarray, edges: list[Sim3Edge],
     """Levenberg-damped Gauss-Newton over Sim(3) nodes; node 0 pinned.
 
     nodes: [N, 4, 4] initial Sim(3) guesses (chain poses, s=1).
-    Returns (optimized nodes, final robust cost). Forward-difference
-    Jacobians on the 14 parameters each edge touches; Huber IRLS weights
-    recomputed every iteration from the edge's current residual norm.
+    Returns (optimized nodes, final robust cost). Huber IRLS weights
+    recomputed every iteration from each edge's current residual norm.
+
+    Jacobians are forward differences taken MULTIPLICATIVELY: perturbing
+    node a by exp(h e_k) changes the prediction P = Na^-1 Nb to
+    exp(-h e_k) P (and the b side to P exp(h e_k)), so the 14 constant
+    matrices exp(+-h e_k) are precomputed once and every column costs
+    one 4x4 matmul + one log — all evaluated in ONE batched
+    ``sim3_log_batch`` pass of 14 x n_edges matrices per iteration
+    (profiled 25x faster than per-edge scalar calls at KITTI scale).
     """
     nodes = np.asarray(nodes, np.float64).copy()
     N = len(nodes)
+    E = len(edges)
     dim = 7 * (N - 1)  # node 0 pinned
+    ai = np.array([e.a for e in edges])
+    bi = np.array([e.b for e in edges])
+    M = np.stack([e.M for e in edges])
+    Minv = sim3_inv_batch(M)
+    w = np.stack([e.w for e in edges])  # [E, 7]
+    hub = np.array([e.huber for e in edges])
+    h = 1e-7
+    Epos = sim3_exp_batch(h * np.eye(7))  # [7, 4, 4]
+    Eneg = sim3_exp_batch(-h * np.eye(7))
+    # Minv @ exp(-h e_k): constant across iterations. [E, 7, 4, 4]
+    MinvEneg = np.einsum("eij,kjl->ekil", Minv, Eneg)
 
-    def robust_w(e: Sim3Edge, r: np.ndarray) -> float:
-        if e.huber <= 0:
-            return 1.0
-        nrm = float(np.linalg.norm(e.w * r))
-        return 1.0 if nrm <= e.huber else e.huber / nrm
+    def residuals(nds: np.ndarray) -> np.ndarray:
+        P = sim3_inv_batch(nds[ai]) @ nds[bi]
+        return sim3_log_batch(Minv @ P), P
 
-    def cost(nds) -> float:
-        c = 0.0
-        for e in edges:
-            r = e.w * _edge_residual(nds, e)
-            n2 = float(r @ r)
-            if e.huber > 0 and n2 > e.huber**2:
-                n = np.sqrt(n2)
-                c += e.huber * (2 * n - e.huber)
-            else:
-                c += n2
-        return c
+    def cost_of(r: np.ndarray) -> float:
+        n2 = np.einsum("ek,ek->e", w * r, w * r)
+        lin = (hub > 0) & (n2 > hub * hub)
+        n = np.sqrt(np.maximum(n2, 1e-300))
+        return float(np.where(lin, hub * (2 * n - hub), n2).sum())
 
     mu = mu0
-    cur = cost(nodes)
-    h = 1e-7
+    r_cur, P_cur = residuals(nodes)
+    cur = cost_of(r_cur)
     for _ in range(iters):
-        H = np.zeros((dim, dim))
+        r0, P0 = r_cur, P_cur
+        # Robust (IRLS) weight per edge from the Huber slope.
+        nrm = np.linalg.norm(w * r0, axis=-1)
+        rw = np.where((hub > 0) & (nrm > hub),
+                      hub / np.maximum(nrm, 1e-300), 1.0)
+        # Perturbed predictions, all edges x all 14 columns at once.
+        pert_a = MinvEneg @ P0[:, None]  # [E, 7, 4, 4]
+        E0 = Minv @ P0
+        pert_b = np.einsum("eij,kjl->ekil", E0, Epos)
+        pert = np.concatenate([pert_a, pert_b], 1)  # [E, 14, 4, 4]
+        logs = sim3_log_batch(pert.reshape(-1, 4, 4)).reshape(E, 14, 7)
+        J = (logs - r0[:, None]) / h  # [E, 14, 7] (cols-first layout)
+        Jw = np.swapaxes(J, 1, 2) * w[:, :, None] \
+            * np.sqrt(rw)[:, None, None]  # [E, 7, 14]
+        rv = (w * r0) * np.sqrt(rw)[:, None]
+        JtJ = np.einsum("erc,erd->ecd", Jw, Jw)  # [E, 14, 14]
+        Jtr = np.einsum("erc,er->ec", Jw, rv)
+        # Sparse normal equations: the graph is a chain plus a few loop
+        # blocks, so H is block-tridiagonal + O(n_loops) off-band 7x7
+        # blocks — a dense solve was 75% of the wall at KITTI scale
+        # (3900^2 LAPACK per damping try); sparse LU is milliseconds.
+        gidx = np.concatenate([  # [E, 14] global col per local col
+            np.where(ai[:, None] == 0, -1,
+                     7 * (ai[:, None] - 1) + np.arange(7)),
+            np.where(bi[:, None] == 0, -1,
+                     7 * (bi[:, None] - 1) + np.arange(7)),
+        ], 1)
+        valid = gidx >= 0
         g = np.zeros(dim)
-        for e in edges:
-            r0 = _edge_residual(nodes, e)
-            rw = robust_w(e, r0)
-            J = np.zeros((7, 14))
-            for c in range(14):
-                node, k = (e.a, c) if c < 7 else (e.b, c - 7)
-                if node == 0:
-                    continue
-                d = np.zeros(7)
-                d[k] = h
-                pert = nodes[node] @ sim3_exp(d)
-                if c < 7:
-                    P = sim3_inv(pert) @ nodes[e.b]
-                else:
-                    P = sim3_inv(nodes[e.a]) @ pert
-                J[:, c] = (sim3_log(sim3_inv(e.M) @ P) - r0) / h
-            Jw = (e.w[:, None] * J) * np.sqrt(rw)
-            rw_vec = (e.w * r0) * np.sqrt(rw)
-            idx = []
-            cols = []
-            if e.a != 0:
-                idx.append(np.arange(7 * (e.a - 1), 7 * e.a))
-                cols.append(Jw[:, :7])
-            if e.b != 0:
-                idx.append(np.arange(7 * (e.b - 1), 7 * e.b))
-                cols.append(Jw[:, 7:])
-            for ii, Ji in zip(idx, cols):
-                g[ii] += Ji.T @ rw_vec
-                for jj, Jj in zip(idx, cols):
-                    H[np.ix_(ii, jj)] += Ji.T @ Jj
+        np.add.at(g, gidx[valid], Jtr[valid])
+        rows = np.broadcast_to(gidx[:, :, None], (E, 14, 14))
+        cols = np.broadcast_to(gidx[:, None, :], (E, 14, 14))
+        vmask = valid[:, :, None] & valid[:, None, :]
+        H = sparse.coo_matrix(
+            (JtJ[vmask], (rows[vmask], cols[vmask])),
+            shape=(dim, dim)).tocsc()
         if float(np.abs(g).max(initial=0.0)) < 1e-12:
             break
+        dH = sparse.diags(np.maximum(H.diagonal(), 1e-12))
         ok = False
         for _try in range(8):
             try:
-                delta = np.linalg.solve(
-                    H + mu * np.diag(np.maximum(np.diag(H), 1e-12)), -g)
-            except np.linalg.LinAlgError:
+                delta = splinalg.splu(
+                    (H + mu * dH).tocsc()).solve(-g)
+                if not np.all(np.isfinite(delta)):
+                    raise RuntimeError("singular")
+            except (RuntimeError, ValueError):
                 mu *= 10
                 continue
             cand = nodes.copy()
-            for k in range(1, N):
-                cand[k] = nodes[k] @ sim3_exp(delta[7 * (k - 1): 7 * k])
-            c_new = cost(cand)
+            cand[1:] = nodes[1:] @ sim3_exp_batch(delta.reshape(N - 1, 7))
+            r_new, P_new = residuals(cand)
+            c_new = cost_of(r_new)
             if c_new < cur:
-                nodes, cur = cand, c_new
+                rel = (cur - c_new) / max(cur, 1e-300)
+                nodes, cur, r_cur, P_cur = cand, c_new, r_new, P_new
                 mu = max(mu / 3, 1e-9)
                 ok = True
+                if rel < 1e-10:  # converged
+                    return nodes, cur
                 break
             mu *= 10
         if not ok:
