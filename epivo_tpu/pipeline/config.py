@@ -302,6 +302,11 @@ class LoopConfig:
     # revisits). A single verified loop always uses the endpoint-exact
     # greedy spread. False = r4/r5-greedy behavior everywhere.
     pose_graph: bool = True
+    # Self-consistency acceptance for the joint solve (see
+    # posegraph.self_consistency): the corrected trajectory's net
+    # length change must stay within this factor AND the loop gaps
+    # must shrink, else the greedy per-span spread is used instead.
+    pose_graph_max_scale: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

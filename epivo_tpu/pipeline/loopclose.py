@@ -624,15 +624,36 @@ def close_loops(traj: np.ndarray, keyframes, config,
                       "zero_baseline": bool(res.zero_baseline)})
     if lcfg.pose_graph and applied:
         if len(applied) >= 2:
-            # Joint Sim(3) pose-graph reconciliation of all loops.
+            # Joint Sim(3) pose-graph reconciliation of all loops,
+            # accepted only if the output passes the no-GT
+            # self-consistency gate (length-change budget + loop gaps
+            # actually shrinking); on odometry broken beyond smooth
+            # drift the solve can exploit the scale DOF instead
+            # (measured, POSE_GRAPH.json) and the greedy per-span
+            # spread is the safer correction.
             from epivo_tpu.pipeline import posegraph
 
-            traj = np.asarray(
+            cand = np.asarray(
                 posegraph.optimize_pose_graph(traj, applied,
                                               stride=stride), np.float64)
+            ok, stats = posegraph.self_consistency(
+                traj, cand, applied, lcfg.pose_graph_max_scale)
             if mlog is not None:
                 mlog.log({"stage": "loop_pose_graph",
-                          "n_loops": len(applied)})
+                          "n_loops": len(applied), "accepted": bool(ok),
+                          **stats})
+            if ok:
+                traj = cand
+            else:
+                # Greedy fallback over the collected loops (strongest
+                # first, one per non-overlapping span).
+                spans: list[tuple[int, int]] = []
+                for lp in sorted(applied, key=lambda l: -l.n_inliers):
+                    if any(not (lp.j < a or lp.i > b) for (a, b) in spans):
+                        continue
+                    traj = spread_drift(traj, lp.i, lp.j, lp.T_meas,
+                                        sigma=lp.sigma)
+                    spans.append((lp.i, lp.j))
         else:
             lp = applied[0]
             traj = spread_drift(traj, lp.i, lp.j, lp.T_meas,

@@ -466,6 +466,47 @@ def _fit_segment(sub: np.ndarray, Ta_new: np.ndarray, Tb_new: np.ndarray,
     return out
 
 
+def self_consistency(traj_old: np.ndarray, traj_new: np.ndarray,
+                     loops: list[Loop], max_scale: float = 2.0,
+                     ) -> tuple[bool, dict]:
+    """Acceptance gate for a pose-graph correction (measured necessity:
+    on a course whose odometry is broken beyond smooth drift — KLT turn
+    collapses leaving self-consistent ~40%-of-true rotations — the
+    zero-baseline position constraints can be 'satisfied' cheapest by
+    inflating the scale DOF, and the chip run of the two-lap course did
+    exactly that: length ratio 0.46 -> 3.37 with sim3 ATE unimproved,
+    POSE_GRAPH.json r5). Two checks, both on quantities the pipeline can
+    compute WITHOUT ground truth:
+
+    - the net length change must stay inside ``max_scale`` (a genuine
+      drift correction is bounded by plausible accumulated drift; a 7x
+      blow-up is the solver exploiting an unobservable direction);
+    - the summed positional loop gaps must actually shrink (the solve
+      must deliver the thing the loops assert).
+
+    Returns (accept, stats)."""
+    def length(t):
+        return float(np.linalg.norm(
+            np.diff(np.asarray(t, np.float64)[:, :3, 3], axis=0),
+            axis=1).sum())
+
+    def gaps(t):
+        t = np.asarray(t, np.float64)
+        s = 0.0
+        for lp in loops:
+            pos_meas = (t[lp.i] @ np.linalg.inv(
+                np.asarray(lp.T_meas, np.float64)))[:3, 3]
+            s += float(np.linalg.norm(pos_meas - t[lp.j, :3, 3]))
+        return s
+
+    fac = length(traj_new) / max(length(traj_old), 1e-12)
+    g_old, g_new = gaps(traj_old), gaps(traj_new)
+    ok = (1.0 / max_scale <= fac <= max_scale) and g_new < g_old
+    return ok, {"length_factor": round(fac, 4),
+                "loop_gap_before": round(g_old, 3),
+                "loop_gap_after": round(g_new, 3)}
+
+
 def optimize_pose_graph(traj: np.ndarray, loops: list[Loop],
                         stride: int = 8, iters: int = 30,
                         **graph_kwargs) -> np.ndarray:

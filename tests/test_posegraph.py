@@ -130,3 +130,23 @@ def test_huber_rejects_false_loop():
     mixed = posegraph.optimize_pose_graph(chain, loops + [bad], stride=8)
     assert err(mixed).mean() < err(clean).mean() + 0.3
     assert err(mixed).mean() < 0.3 * err(chain).mean()
+
+
+def test_self_consistency_gate():
+    gt, chain, loops = _two_lap_course()
+    good = posegraph.optimize_pose_graph(chain, loops, stride=8)
+    ok, stats = posegraph.self_consistency(chain, good, loops)
+    assert ok, stats  # a genuine recovery passes
+    assert stats["loop_gap_after"] < stats["loop_gap_before"]
+    # A scale blow-up (the measured chip failure mode: length factor
+    # 0.46 -> 3.37) is rejected by the length budget even if gaps close.
+    blown = np.asarray(good, np.float64).copy()
+    steps = np.linalg.inv(blown[:-1]) @ blown[1:]
+    steps[:, :3, 3] *= 4.0
+    for k in range(len(steps)):
+        blown[k + 1] = blown[k] @ steps[k]
+    ok2, stats2 = posegraph.self_consistency(chain, blown, loops)
+    assert not ok2, stats2
+    # A 'correction' that leaves the loop gaps unimproved is rejected.
+    ok3, stats3 = posegraph.self_consistency(chain, chain, loops)
+    assert not ok3, stats3
